@@ -1,0 +1,40 @@
+"""Test configuration.
+
+JAX tests run on a virtual 8-device CPU mesh so multi-chip sharding is
+exercised without TPU hardware (the driver separately dry-runs the real
+multi-chip path via __graft_entry__.dryrun_multichip).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import pytest
+
+REFERENCE_DATA = pathlib.Path("/root/reference/data")
+
+
+@pytest.fixture(scope="session")
+def snappy_dir() -> pathlib.Path:
+    return REFERENCE_DATA / "snappy"
+
+
+@pytest.fixture(scope="session")
+def mutate_dir() -> pathlib.Path:
+    return REFERENCE_DATA / "mutate"
+
+
+@pytest.fixture(scope="session")
+def special_dir() -> pathlib.Path:
+    return REFERENCE_DATA / "special"
+
+
+@pytest.fixture(scope="session")
+def synth_dir() -> pathlib.Path:
+    return REFERENCE_DATA / "synth"
