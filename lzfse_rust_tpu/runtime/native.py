@@ -1,0 +1,69 @@
+"""Native C++ runtime bindings (ctypes). Built by runtime/build.sh.
+
+Falls back gracefully when the shared library is absent; `available()` gates
+all use. The C++ runtime implements the sequential host paths (scalar codec,
+container assembly, streaming IO) at native speed — the role the reference's
+Rust core plays (it is a 100%-native codec).
+"""
+
+from __future__ import annotations
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+_LIB = None
+_TRIED = False
+
+
+def _lib():
+    global _LIB, _TRIED
+    if not _TRIED:
+        _TRIED = True
+        import ctypes, pathlib
+        so = pathlib.Path(__file__).parent / "libtpulzfse.so"
+        if so.exists():
+            _LIB = ctypes.CDLL(str(so))
+            _configure(_LIB)
+    return _LIB
+
+
+def _configure(lib) -> None:
+    import ctypes
+    lib.tl_decode_bound.restype = ctypes.c_longlong
+    lib.tl_decode_bound.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    lib.tl_decode.restype = ctypes.c_longlong
+    lib.tl_decode.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                              ctypes.c_char_p, ctypes.c_size_t]
+    lib.tl_encode_bound.restype = ctypes.c_longlong
+    lib.tl_encode_bound.argtypes = [ctypes.c_size_t]
+    lib.tl_encode.restype = ctypes.c_longlong
+    lib.tl_encode.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                              ctypes.c_char_p, ctypes.c_size_t]
+
+
+def decode_bytes(src: bytes) -> bytes:
+    import ctypes
+    from ..base.errors import DecodeError
+    lib = _lib()
+    bound = lib.tl_decode_bound(src, len(src))
+    if bound < 0:
+        raise DecodeError(f"probe failed: {bound}")
+    out = ctypes.create_string_buffer(max(int(bound), 1))
+    n = lib.tl_decode(src, len(src), out, bound)
+    if n < 0:
+        raise DecodeError(f"decode failed: {n}")
+    return out.raw[:n]
+
+
+def encode_bytes(src: bytes) -> bytes:
+    import ctypes
+    from ..base.errors import LzfseError
+    lib = _lib()
+    bound = lib.tl_encode_bound(len(src))
+    out = ctypes.create_string_buffer(int(bound))
+    n = lib.tl_encode(src, len(src), out, bound)
+    if n < 0:
+        raise LzfseError(f"encode failed: {n}")
+    return out.raw[:n]

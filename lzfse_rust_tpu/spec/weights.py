@@ -129,7 +129,7 @@ def normalize_m1(weights: np.ndarray, in_total: int, out_total: int) -> None:
     assert out_total & (out_total - 1) == 0 and out_total <= 0x40000000
     if in_total == 0:
         return
-    shift = 32 - out_total.bit_length() + 1  # == u32 leading_zeros(out_total)
+    shift = 32 - out_total.bit_length()  # == u32 leading_zeros(out_total)
     multiply = (1 << 31) // in_total
     round_ = 1 << (shift - 1)
     nz = weights != 0
