@@ -1,0 +1,297 @@
+"""TpuDecoder — the batched TPU decode pipeline ("flagship model", decode side).
+
+Architecture (TPU-first redesign of the reference's sequential
+block-dispatch loop, src/decode/decoder.rs:72-99):
+
+  host:   container walk -> block descriptors; weight-payload Huffman decode
+          (tiny, <=708 bytes/block); LZVN/Raw blocks parsed to row streams
+  device: batched tANS table build (ops/table_build.py)
+          batched literal + LMD stream scans   (ops/fse_decode.py)
+  host:   per-container row/literal flattening
+  device: pointer-doubling LZ reconstruction   (ops/lz_rebuild.py)
+
+Every FSE block across every container in the call decodes in parallel;
+every output byte of every container resolves in parallel. Throughput scales
+with the number of blocks in flight, which is the TPU-native replacement for
+the reference's single sequential state machine.
+
+Validity is checked with the same conditions the reference enforces
+(final states == defaults, payload underflow, literal/raw-count bounds,
+distance bounds); containers that fail any check are re-decoded through the
+scalar spec layer so error semantics match exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..base import constants as C
+from ..base.errors import BadBlock, DecodeError, PayloadOverflow, PayloadUnderflow
+from ..spec import container as spec_container
+from ..spec import fse as F
+from ..spec import vn as V
+from ..spec import weights as W
+
+# Payload pads: fixed static shapes keep one XLA compilation alive across
+# calls. Literal payload max = 50000B stream + 8 pad; LMD max = 67508.
+LIT_PAYLOAD_PAD = 50016
+LMD_PAYLOAD_PAD = 67520
+_PAD_TAIL = 8  # window slack
+
+
+@dataclass
+class _FseBlockDesc:
+    container: int
+    order: int  # position among the container's blocks
+    block: F.FseBlock
+    weights: np.ndarray
+    lit_payload: bytes  # includes leading 8 borrowed/pad bytes
+    lmd_payload: bytes  # includes its own leading 8 pad bytes
+
+
+@dataclass
+class _ParsedContainer:
+    # per-block entries in stream order: ("fse", fse_index) | rows/literals
+    parts: list = field(default_factory=list)
+    n_raw: int = 0
+
+
+def _parse_container(src: bytes, ci: int, fse_blocks: list) -> _ParsedContainer:
+    """Walk one container, collecting FSE payloads and host-parsed rows."""
+    out = _ParsedContainer()
+    pos = 0
+    n = len(src)
+    while True:
+        if n - pos < 4:
+            raise PayloadUnderflow("container truncated")
+        magic = int.from_bytes(src[pos:pos + 4], "little")
+        if magic == C.MAGIC_EOS:
+            pos += 4
+            break
+        if magic in (C.MAGIC_VX2, C.MAGIC_VX1):
+            if magic == C.MAGIC_VX2:
+                block, nw = F.load_v2_header(
+                    spec_container._take(src, pos, C.V2_HEADER_SIZE))
+                weights = W.load_v2(
+                    spec_container._take(src, pos + C.V2_HEADER_SIZE, nw))
+                payload_start = pos + C.V2_HEADER_SIZE + nw
+            else:
+                block = F.load_v1_header(
+                    spec_container._take(src, pos, C.V1_HEADER_SIZE))
+                weights = W.load_v1(spec_container._take(
+                    src, pos + C.V1_HEADER_SIZE, C.V1_WEIGHT_PAYLOAD_BYTES))
+                payload_start = pos + C.V1_HEADER_SIZE + C.V1_WEIGHT_PAYLOAD_BYTES
+            lit_payload = spec_container._take(
+                src, payload_start - 8, block.literal.n_payload_bytes + 8)
+            lmd_start = payload_start + block.literal.n_payload_bytes
+            lmd_payload = spec_container._take(
+                src, lmd_start, block.lmd.n_payload_bytes)
+            # BitReader init padding checks (bit_reader.rs:25-27).
+            for payload, bits in ((lit_payload, block.literal.bits),
+                                  (lmd_payload, block.lmd.bits)):
+                if bits and int.from_bytes(payload[-8:], "little") >> (64 - bits):
+                    raise DecodeError("BadBitStream")
+            out.parts.append(("fse", len(fse_blocks)))
+            fse_blocks.append(_FseBlockDesc(
+                ci, len(out.parts) - 1, block, weights, lit_payload,
+                lmd_payload))
+            out.n_raw += block.n_raw_bytes
+            pos = lmd_start + block.lmd.n_payload_bytes
+        elif magic == C.MAGIC_VXN:
+            header = spec_container._take(src, pos, C.VN_HEADER_SIZE)
+            n_raw_b = int.from_bytes(header[4:8], "little")
+            n_pay = int.from_bytes(header[8:12], "little")
+            payload = spec_container._take(src, pos + C.VN_HEADER_SIZE, n_pay)
+            rows, lits = V.parse_vn_rows(payload, n_raw_b, n_pay)
+            out.parts.append(("rows", rows, lits))
+            out.n_raw += n_raw_b
+            pos += C.VN_HEADER_SIZE + n_pay
+        elif magic == C.MAGIC_RAW:
+            header = spec_container._take(src, pos, C.RAW_HEADER_SIZE)
+            n_raw_b = int.from_bytes(header[4:8], "little")
+            data = spec_container._take(src, pos + C.RAW_HEADER_SIZE, n_raw_b)
+            rows = np.array([[n_raw_b, 0, 0]], dtype=np.int32)
+            out.parts.append(("rows", rows, data))
+            out.n_raw += n_raw_b
+            pos += C.RAW_HEADER_SIZE + n_raw_b
+        else:
+            raise BadBlock(magic)
+    if n - pos != 0:
+        raise PayloadOverflow("trailing bytes after EOS")
+    return out
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _bucket(x: int, lo: int = 1) -> int:
+    """Round up to a power of two (>= lo) so jit shapes stay cacheable."""
+    x = max(x, lo)
+    return 1 << (x - 1).bit_length()
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _substitute_fn():
+    import jax
+    from ..ops.lz_rebuild import substitute_distances
+
+    @jax.jit
+    def go(x):
+        return x.at[:, :, 2].set(substitute_distances(x[:, :, 2]))
+    return go
+
+
+def _substitute_jit(lmds):
+    """Apply per-block distance zero-substitution on device (jitted)."""
+    return _substitute_fn()(lmds)
+
+
+class TpuDecoder:
+    """Batched container decoder running the compute path on the JAX device."""
+
+    def __init__(self):
+        import jax.numpy as jnp  # deferred so pure-spec users never pay
+        self._jnp = jnp
+
+    def decode_many(self, sources: list[bytes]) -> list[bytes]:
+        """Decode a batch of containers, block-parallel across all of them."""
+        import jax.numpy as jnp
+        from ..ops.fse_decode import (bytes_to_windows, decode_literals_batch,
+                                      decode_lmds_batch)
+        from ..ops.lz_rebuild import lz_rebuild_batch
+        from ..ops.table_build import build_decode_tables
+
+        fse_blocks: list[_FseBlockDesc] = []
+        parsed = [_parse_container(s, i, fse_blocks)
+                  for i, s in enumerate(sources)]
+
+        lit_arr = np.zeros((max(len(fse_blocks), 1), 0), dtype=np.uint8)
+        if fse_blocks:
+            B = _bucket(len(fse_blocks))  # pad block batch for jit cache reuse
+            weights = np.zeros((B, C.N_WEIGHTS), dtype=np.int32)
+            weights[:len(fse_blocks)] = np.stack(
+                [d.weights for d in fse_blocks])
+            litp = np.zeros((B, LIT_PAYLOAD_PAD + _PAD_TAIL), dtype=np.uint8)
+            lmdp = np.zeros((B, LMD_PAYLOAD_PAD + _PAD_TAIL), dtype=np.uint8)
+            lit_pos = np.full(B, 64, dtype=np.int32)
+            lmd_pos = np.full(B, 64, dtype=np.int32)
+            lit_states = np.zeros((B, 4), dtype=np.int32)
+            lmd_states = np.zeros((B, 3), dtype=np.int32)
+            lit_num = np.zeros(B, dtype=np.int32)
+            lmd_num = np.zeros(B, dtype=np.int32)
+            for i, d in enumerate(fse_blocks):
+                lp, mp = d.lit_payload, d.lmd_payload
+                litp[i, :len(lp)] = np.frombuffer(lp, dtype=np.uint8)
+                lmdp[i, :len(mp)] = np.frombuffer(mp, dtype=np.uint8)
+                lit_pos[i] = len(lp) * 8 - d.block.literal.bits
+                lmd_pos[i] = len(mp) * 8 - d.block.lmd.bits
+                lit_states[i] = d.block.literal.state
+                ls = d.block.lmd.state
+                lmd_states[i] = (ls[0], ls[1] + C.L_STATES,
+                                 ls[2] + C.L_STATES + C.M_STATES)
+                lit_num[i] = d.block.literal.num
+                lmd_num[i] = d.block.lmd.num
+
+            v_packed, v_base, u_packed = build_decode_tables(
+                jnp.asarray(weights))
+            lit_w = bytes_to_windows(jnp.asarray(litp))
+            lmd_w = bytes_to_windows(jnp.asarray(lmdp))
+            literals, lit_fs, lit_fp = decode_literals_batch(
+                u_packed, lit_w, jnp.asarray(lit_states),
+                jnp.asarray(lit_pos), jnp.asarray(lit_num),
+                C.LITERALS_PER_BLOCK // 4)
+            lmds, lmd_fs, lmd_fp = decode_lmds_batch(
+                v_packed, v_base, lmd_w, jnp.asarray(lmd_states),
+                jnp.asarray(lmd_pos), jnp.asarray(lmd_num),
+                C.LMDS_PER_BLOCK)
+            lmds = _substitute_jit(lmds)
+
+            # Stream validity (fse_core.rs:132-140 + literals.rs:79-87):
+            # final states at defaults, no payload underflow (>= 64 bits of
+            # pad remain).
+            lit_ok = (np.asarray(lit_fs) == 0).all(axis=1)
+            lit_ok &= np.asarray(lit_fp) >= 64
+            lmd_fs_np = np.asarray(lmd_fs)
+            lmd_ok = ((lmd_fs_np[:, 0] == 0)
+                      & (lmd_fs_np[:, 1] == C.L_STATES)
+                      & (lmd_fs_np[:, 2] == C.L_STATES + C.M_STATES))
+            lmd_ok &= np.asarray(lmd_fp) >= 64
+            fse_ok = lit_ok & lmd_ok
+            lit_arr = np.asarray(literals)
+            lmd_arr = np.asarray(lmds)
+        else:
+            fse_ok = np.zeros(0, dtype=bool)
+
+        # Flatten each container's parts into one row stream + literal pool.
+        results: list[bytes | None] = [None] * len(sources)
+        conts: list[tuple[int, np.ndarray, np.ndarray]] = []
+        for ci, pc in enumerate(parsed):
+            rows_list, lit_list = [], []
+            valid = True
+            for part in pc.parts:
+                if part[0] == "fse":
+                    bi = part[1]
+                    if not fse_ok[bi]:
+                        valid = False
+                        break
+                    d = fse_blocks[bi]
+                    nl = d.block.lmd.num
+                    rows = lmd_arr[bi, :nl]
+                    # literal-count consistency (fse_core.rs:133)
+                    consumed = int(rows[:, 0].sum())
+                    if consumed > d.block.literal.num:
+                        valid = False
+                        break
+                    rows_list.append(rows)
+                    # Only the literals the rows actually consume enter the
+                    # pool: the stored literal count is padded to 4
+                    # (literals.rs:135-145) and trailing pads are never
+                    # referenced; keeping them would misalign the flattened
+                    # cross-block literal indexing.
+                    lit_list.append(lit_arr[bi, :consumed])
+                else:
+                    rows_list.append(part[1])
+                    lit_list.append(np.frombuffer(part[2], dtype=np.uint8))
+            if not valid:
+                # exact error semantics via the scalar spec layer
+                results[ci] = spec_container.decode_bytes(sources[ci])
+                continue
+            rows = (np.concatenate(rows_list) if rows_list
+                    else np.zeros((0, 3), dtype=np.int32))
+            lits = (np.concatenate(lit_list) if lit_list
+                    else np.zeros(0, dtype=np.uint8))
+            conts.append((ci, rows, lits))
+
+        if conts:
+            Bc = _bucket(len(conts))
+            r_max = _bucket(max(len(r) for _, r, _ in conts), 256)
+            l_max = _bucket(max(max(len(li) for _, _, li in conts), 1), 4096)
+            n_out = _bucket(max(parsed[ci].n_raw for ci, _, _ in conts) or 1,
+                            4096)
+            rows_b = np.zeros((Bc, r_max, 3), dtype=np.int32)
+            lits_b = np.zeros((Bc, l_max), dtype=np.uint8)
+            n_raw_b = np.zeros(Bc, dtype=np.int32)
+            for k, (ci, rows, lits) in enumerate(conts):
+                rows_b[k, :len(rows)] = rows
+                lits_b[k, :len(lits)] = lits
+                n_raw_b[k] = parsed[ci].n_raw
+            out, ok = lz_rebuild_batch(jnp.asarray(lits_b),
+                                       jnp.asarray(rows_b),
+                                       jnp.asarray(n_raw_b), n_out)
+            out_np = np.asarray(out)
+            ok_np = np.asarray(ok)
+            for k, (ci, _, _) in enumerate(conts):
+                if ok_np[k]:
+                    results[ci] = out_np[k, :parsed[ci].n_raw].tobytes()
+                else:
+                    results[ci] = spec_container.decode_bytes(sources[ci])
+        return results  # type: ignore[return-value]
+
+    def decode_bytes(self, src: bytes) -> bytes:
+        return self.decode_many([src])[0]

@@ -145,6 +145,88 @@ def _match(sink: LzSink, match_len: int, match_distance: int) -> None:
     sink.write_match(match_len, match_distance)
 
 
+def parse_vn_rows(payload: bytes, n_raw_bytes: int, n_payload_bytes: int
+                  ) -> tuple[np.ndarray, bytes]:
+    """Parse a Vxn opcode stream into (rows, literal_pool) without executing
+    the LZ copies — the host-side front half of the TPU decode pipeline.
+
+    Rows are (literal_len, match_len, d_effective) with previous-distance ops
+    already resolved (the in-block equivalent of substitute). Invalid
+    distances (0 or out of range) are left for the device rebuild's validity
+    check; structural errors raise like decode_vn.
+    """
+    rows: list[tuple[int, int, int]] = []
+    lits = bytearray()
+    i = 0
+    match_distance = 0
+    n_raw = 0
+    limit = len(payload)
+    while True:
+        if i + 8 > limit:
+            raise PayloadUnderflow("vn payload underflow")
+        opu = int.from_bytes(payload[i:i + 4], "little")
+        op = int(OP_TABLE[opu & 0xFF])
+        if op == EOS_OP:
+            if payload[i:i + 8] != bytes([C.VN_EOS_BYTE] + [0] * 7):
+                raise VnError("BadPayload", "bad EOS tag")
+            i += 8
+            break
+        if op == UDEF:
+            raise VnError("BadOpcode")
+        if op == NOP:
+            i += 1
+            continue
+        if op in (SML_L, LRG_L):
+            l = (opu & 0xF) if op == SML_L else ((opu >> 8) & 0xFF) + 0x10
+            consumed = 1 if op == SML_L else 2
+            if i + consumed + l + 8 > limit:
+                raise PayloadUnderflow("vn literal underflow")
+            lits += payload[i + consumed:i + consumed + l]
+            rows.append((l, 0, 0))
+            n_raw += l
+            i += consumed + l
+            continue
+        if op in (SML_M, LRG_M):
+            m = (opu & 0xF) if op == SML_M else ((opu >> 8) & 0xFF) + 0x10
+            rows.append((0, m, match_distance))
+            n_raw += m
+            i += 1 if op == SML_M else 2
+            continue
+        if op == PRE_D:
+            m = ((opu >> 3) & 0x7) + 3
+            l = (opu >> 6) & 0x3
+            consumed, d = 1, match_distance
+        elif op == SML_D:
+            d = ((opu & 0x7) << 8) | ((opu >> 8) & 0xFF)
+            m = ((opu >> 3) & 0x7) + 3
+            l = (opu >> 6) & 0x3
+            consumed = 2
+        elif op == MED_D:
+            m = (((opu & 0x7) << 2) | ((opu >> 8) & 0x3)) + 3
+            l = (opu >> 3) & 0x3
+            d = (opu >> 10) & 0x3FFF
+            consumed = 3
+        else:  # LRG_D
+            m = ((opu >> 3) & 0x7) + 3
+            l = (opu >> 6) & 0x3
+            d = (opu >> 8) & 0xFFFF
+            consumed = 3
+        if i + consumed + l + 8 > limit:
+            raise PayloadUnderflow("vn literal underflow")
+        lits += payload[i + consumed:i + consumed + l]
+        rows.append((l, m, d))
+        match_distance = d
+        n_raw += l + m
+        i += consumed + l
+    if i != n_payload_bytes:
+        if i < n_payload_bytes:
+            raise PayloadOverflow("vn trailing payload")
+        raise PayloadUnderflow("vn payload overrun")
+    if n_raw != n_raw_bytes:
+        raise VnError("BadPayload", "raw byte count mismatch")
+    return (np.array(rows, dtype=np.int32).reshape(-1, 3), bytes(lits))
+
+
 # --- Encode -------------------------------------------------------------------------
 
 def _match_len_x(literal_len: int) -> int:
