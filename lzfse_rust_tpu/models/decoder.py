@@ -152,12 +152,38 @@ def _substitute_jit(lmds):
     return _substitute_fn()(lmds)
 
 
-class TpuDecoder:
-    """Batched container decoder running the compute path on the JAX device."""
+@functools.lru_cache(maxsize=1)
+def _unpack_fn():
+    """Jitted unpacker for the pallas kernels' packed outputs."""
+    import jax
+    import jax.numpy as jnp
 
-    def __init__(self):
+    @jax.jit
+    def unpack(lit_packed, lm, d):
+        b = lit_packed[:, :, None]
+        literals = jnp.concatenate(
+            [(b >> 0) & 255, (b >> 8) & 255, (b >> 16) & 255,
+             (b >> 24) & 255], axis=2).reshape(lit_packed.shape[0], -1)
+        lmds = jnp.stack([lm & 0xFFFF, lm >> 16, d], axis=2)
+        return literals.astype(jnp.uint8), lmds
+    return unpack
+
+
+class TpuDecoder:
+    """Batched container decoder running the compute path on the JAX device.
+
+    use_pallas selects the Mosaic kernels (ops/pallas_decode.py) for the tANS
+    scans; the pure-XLA scans remain as the portable fallback (CPU backend,
+    interpret-mode debugging).
+    """
+
+    def __init__(self, use_pallas: bool | None = None):
+        import jax
         import jax.numpy as jnp  # deferred so pure-spec users never pay
         self._jnp = jnp
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self.use_pallas = use_pallas
 
     def decode_many(self, sources: list[bytes]) -> list[bytes]:
         """Decode a batch of containers, block-parallel across all of them."""
@@ -173,7 +199,8 @@ class TpuDecoder:
 
         lit_arr = np.zeros((max(len(fse_blocks), 1), 0), dtype=np.uint8)
         if fse_blocks:
-            B = _bucket(len(fse_blocks))  # pad block batch for jit cache reuse
+            # pad block batch for jit cache reuse; pallas needs multiples of 32
+            B = _bucket(len(fse_blocks), 32 if self.use_pallas else 1)
             weights = np.zeros((B, C.N_WEIGHTS), dtype=np.int32)
             weights[:len(fse_blocks)] = np.stack(
                 [d.weights for d in fse_blocks])
@@ -200,16 +227,53 @@ class TpuDecoder:
 
             v_packed, v_base, u_packed = build_decode_tables(
                 jnp.asarray(weights))
-            lit_w = bytes_to_windows(jnp.asarray(litp))
-            lmd_w = bytes_to_windows(jnp.asarray(lmdp))
-            literals, lit_fs, lit_fp = decode_literals_batch(
-                u_packed, lit_w, jnp.asarray(lit_states),
-                jnp.asarray(lit_pos), jnp.asarray(lit_num),
-                C.LITERALS_PER_BLOCK // 4)
-            lmds, lmd_fs, lmd_fp = decode_lmds_batch(
-                v_packed, v_base, lmd_w, jnp.asarray(lmd_states),
-                jnp.asarray(lmd_pos), jnp.asarray(lmd_num),
-                C.LMDS_PER_BLOCK)
+            if self.use_pallas:
+                from ..ops.pallas_decode import (decode_literals_pallas,
+                                                 decode_lmds_pallas)
+                # word views padded to a multiple of 128 (Mosaic-aligned
+                # dynamic slices in the pallas kernels)
+                lit_w_total = _round_up(LIT_PAYLOAD_PAD // 4 + 4, 128)
+                lit_words = np.zeros((B, lit_w_total), np.int32)
+                lit_words[:, :LIT_PAYLOAD_PAD // 4] = \
+                    litp[:, :LIT_PAYLOAD_PAD].view("<i4")
+                lmd_w_total = _round_up(LMD_PAYLOAD_PAD // 4 + 4, 128)
+                lmd_words = np.zeros((B, lmd_w_total), np.int32)
+                lmd_words[:, :LMD_PAYLOAD_PAD // 4] = \
+                    lmdp[:, :LMD_PAYLOAD_PAD].view("<i4")
+
+                def vec(x):  # (B, n) -> (B, 128) lane layout
+                    out = np.zeros((B, 128), np.int32)
+                    out[:, :x.shape[1]] = x
+                    return jnp.asarray(out)
+
+                def bcast(x):
+                    return jnp.asarray(
+                        np.repeat(x[:, None], 128, axis=1).astype(np.int32))
+
+                lit_pk, lit_fs128, lit_fp128 = decode_literals_pallas(
+                    u_packed, jnp.asarray(lit_words), vec(lit_states),
+                    bcast(lit_pos), bcast(lit_num),
+                    C.LITERALS_PER_BLOCK // 4)
+                lm_pk, d_pk, lmd_fs128, lmd_fp128 = decode_lmds_pallas(
+                    v_packed, v_base, jnp.asarray(lmd_words),
+                    vec(lmd_states), bcast(lmd_pos), bcast(lmd_num),
+                    C.LMDS_PER_BLOCK)
+                literals, lmds = _unpack_fn()(lit_pk, lm_pk, d_pk)
+                lit_fs = lit_fs128[:, :4]
+                lit_fp = lit_fp128[:, 0]
+                lmd_fs = lmd_fs128[:, :3]
+                lmd_fp = lmd_fp128[:, 0]
+            else:
+                lit_w = bytes_to_windows(jnp.asarray(litp))
+                lmd_w = bytes_to_windows(jnp.asarray(lmdp))
+                literals, lit_fs, lit_fp = decode_literals_batch(
+                    u_packed, lit_w, jnp.asarray(lit_states),
+                    jnp.asarray(lit_pos), jnp.asarray(lit_num),
+                    C.LITERALS_PER_BLOCK // 4)
+                lmds, lmd_fs, lmd_fp = decode_lmds_batch(
+                    v_packed, v_base, lmd_w, jnp.asarray(lmd_states),
+                    jnp.asarray(lmd_pos), jnp.asarray(lmd_num),
+                    C.LMDS_PER_BLOCK)
             lmds = _substitute_jit(lmds)
 
             # Stream validity (fse_core.rs:132-140 + literals.rs:79-87):

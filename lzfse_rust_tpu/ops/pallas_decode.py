@@ -1,0 +1,354 @@
+"""Pallas TPU kernels for batched tANS stream decode.
+
+Why Pallas: XLA:TPU lowers gathers to ~11-cycle scalarized accesses (~85M
+elem/s measured on v5e), which caps the pure-XLA scan pipeline. Mosaic's
+within-tile dynamic gather (jnp.take_along_axis along the 128-lane axis)
+moves whole (R, 128) lookups in a few cycles, so the full decode loop runs
+on-chip at ~3ns per block-step.
+
+Layout (per grid step, R blocks):
+  - one block per sublane row; its 4 (literals) / 3 (LMD) interleaved tANS
+    states occupy lanes 0..3 / 0..2 of that row
+  - tables are (R, n_states) row-major; lookups gather 128-wide chunks and
+    select by the state's high bits (the only way around the 128-lane gather
+    source limit)
+  - the backwards bitstream is read through a (R, 128)-word sliding chunk of
+    the payload, refreshed every EPOCH steps by per-row dynamic slices; bit
+    positions decrease monotonically (reverse-order stream,
+    src/bits/bit_reader.rs), bounding consumption per epoch
+  - outputs are packed int32 lanes (4 literals/word; l|m<<16 and d words)
+    written with dynamic lane stores; XLA unpacks them elementwise afterwards
+
+Decode semantics are the spec layer's (spec/fse.py): state' = pull(k) + delta,
+value = v_base + pull(v_bits), with zero-bits reads below position 0 and
+validity checked by the caller via final states/positions.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..base import constants as C
+
+EPOCH = 64    # steps between chunk refreshes; 64*54 bits = 108 words < 125
+SUPER = 128   # steps per aligned output store (two epochs)
+
+
+def _lookup(tab_ref, state, n_chunks):
+    """Gather packed entries: out[r, l] = tab[r, state[r, l]].
+
+    tab_ref is (R, n_chunks*128); the 128-lane gather limit forces a
+    chunked gather + select-by-high-bits composition.
+    """
+    lo = state & 127
+    hi = state >> 7
+    e = jnp.zeros(state.shape, jnp.int32)
+    for c in range(n_chunks):
+        g = jnp.take_along_axis(tab_ref[:, c * 128:(c + 1) * 128], lo, axis=1)
+        e = jnp.where(hi == c, g, e)
+    return e
+
+
+def _chunk_word(chunk, widx):
+    """chunk: (R, 256); widx in [0, 255]: 2-chunk gather-select (the gather
+    source is limited to a 128-lane tile)."""
+    g_lo = jnp.take_along_axis(chunk[:, :128], widx & 127, axis=1)
+    g_hi = jnp.take_along_axis(chunk[:, 128:], widx & 127, axis=1)
+    return jnp.where(widx < 128, g_lo, g_hi)
+
+
+def _extract(chunk, base_vec, pos, n_bits):
+    """Extract n_bits ending at bit position pos from the sliding chunk.
+
+    chunk: (R, 256) int32 words covering payload word indices
+    [base, base+256); returns int32 bits (zero when pos < 0, mirroring the
+    reference's below-buffer zero reads, src/bits/bit_src.rs:35-45).
+    """
+    p = jnp.maximum(pos, 0)
+    widx = jnp.clip((p >> 5) - base_vec, 0, 254)
+    wlo = _chunk_word(chunk, widx).astype(jnp.uint32)
+    whi = _chunk_word(chunk, widx + 1).astype(jnp.uint32)
+    sh = (p & 31).astype(jnp.uint32)
+    val = (wlo >> sh) | jnp.where(sh == 0, jnp.uint32(0),
+                                  whi << (jnp.uint32(32) - sh))
+    nb = n_bits.astype(jnp.uint32)
+    bits = (val & ((jnp.uint32(1) << nb) - 1)).astype(jnp.int32)
+    return jnp.where(pos < 0, 0, bits)
+
+
+def _masked_roll(x, shift):
+    """Shift lanes up by `shift` (lane l reads lane l-shift), zero-filling."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane >= shift, pltpu.roll(x, shift, 1), 0)
+
+
+def _chunk_base(pos, w_words):
+    """128-aligned word-index base of the 256-word sliding chunk.
+
+    Alignment is a Mosaic requirement for dynamic lane loads; `w_words` must
+    be a multiple of 128 so the clip bound stays aligned. The window covers
+    >= 125 words below the current position — an epoch's consumption bound.
+    """
+    p = jnp.maximum(pos, 0)
+    base = ((p >> 5) - 125) & ~127
+    return jnp.clip(base, 0, w_words - 256)
+
+
+def _refresh(pos, win_ref, pos_s_ref, chunk_ref, r_rows, w_words):
+    """Reload each row's 256-word sliding chunk around its current position.
+
+    The per-row scalar offsets come from a VMEM round-trip of the position
+    vector; the vector-side `base_vec` is recomputed with identical arithmetic
+    so scalar and vector views agree exactly.
+    """
+    pos_s_ref[:, :] = pos
+    for r in range(r_rows):
+        base = pl.multiple_of(_chunk_base(pos_s_ref[r, 0], w_words), 128)
+        chunk_ref[pl.ds(r, 1), :] = win_ref[pl.ds(r, 1), pl.ds(base, 256)]
+
+
+def _lane0_bcast(x, lane):
+    """Broadcast each row's lane-0 value to all lanes (via a lane reduce)."""
+    return jnp.sum(jnp.where(lane == 0, x, 0), axis=1, keepdims=True)
+
+
+def _literal_kernel(u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
+                    out_ref, fs_ref, fpos_ref,
+                    chunk_ref, pos_s_ref, *, r_rows, n_steps, w_words):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r_rows, 128), 1)
+    states0 = s_init_ref[:, :]
+    pos0 = pos_ref[:, :]
+    num = num_ref[:, :]
+    zero_acc = jnp.zeros((r_rows, 128), jnp.int32)
+
+    def superepoch(se, carry):
+        s, pos = carry
+        acc = zero_acc
+
+        def half(h, carry):
+            s, pos, acc = carry
+            _refresh(pos, win_ref, pos_s_ref, chunk_ref, r_rows, w_words)
+            base_vec = _chunk_base(pos, w_words)
+            chunk = chunk_ref[:, :]
+
+            def step(i, carry):
+                s, pos, acc = carry
+                j = h * EPOCH + i            # in-superepoch output lane
+                gstep = se * SUPER + j
+                active = (gstep * 4) < num
+                ent = _lookup(u_tab_ref, s, 8)
+                k = jnp.where(lane < 4, ent & 15, 0)
+                sym = (ent >> 4) & 255
+                delta = ent >> 12
+                # inclusive prefix of k over the 4 stream lanes
+                ksum = k + _masked_roll(k, 1)
+                ksum = ksum + _masked_roll(ksum, 2)
+                p_lane = pos - ksum
+                bits = _extract(chunk, base_vec, p_lane, ent & 15)
+                new_s = jnp.where(active, bits + delta, s)
+                new_pos = jnp.where(
+                    active,
+                    jnp.min(jnp.where(lane < 4, p_lane, jnp.int32(2**30)),
+                            axis=1, keepdims=True) + jnp.zeros_like(pos),
+                    pos)
+                # pack 4 symbols into one int32 word; park it at output lane j
+                packed = (sym + (_neg_roll(sym, 1) << 8)
+                          + (_neg_roll(sym, 2) << 16)
+                          + (_neg_roll(sym, 3) << 24))
+                acc = jnp.where(lane == j, _lane0_bcast(packed, lane), acc)
+                return (new_s, new_pos, acc)
+
+            return jax.lax.fori_loop(0, EPOCH, step, (s, pos, acc))
+
+        s, pos, acc = jax.lax.fori_loop(0, SUPER // EPOCH, half, (s, pos, acc))
+        out_ref[:, pl.ds(pl.multiple_of(se * SUPER, SUPER), SUPER)] = acc
+        return (s, pos)
+
+    n_super = (n_steps + SUPER - 1) // SUPER
+    s, pos = jax.lax.fori_loop(0, n_super, superepoch, (states0, pos0))
+    fs_ref[:, :] = s
+    fpos_ref[:, :] = pos
+
+
+def _neg_roll(x, shift):
+    """Lane l reads lane l+shift (wraps; wrapped lanes are unused)."""
+    return pltpu.roll(x, 128 - shift, 1)
+
+
+def _lmd_kernel(v_tab_ref, v_base_ref, win_ref, s_init_ref, pos_ref, num_ref,
+                out_lm_ref, out_d_ref, fs_ref, fpos_ref,
+                chunk_ref, pos_s_ref, *, r_rows, n_steps, w_words):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r_rows, 128), 1)
+    states0 = s_init_ref[:, :]
+    pos0 = pos_ref[:, :]
+    num = num_ref[:, :]
+    zero_acc = jnp.zeros((r_rows, 128), jnp.int32)
+
+    def superepoch(se, carry):
+        s, pos = carry
+        acc_lm = zero_acc
+        acc_d = zero_acc
+
+        def half(h, carry):
+            s, pos, acc_lm, acc_d = carry
+            _refresh(pos, win_ref, pos_s_ref, chunk_ref, r_rows, w_words)
+            base_vec = _chunk_base(pos, w_words)
+            chunk = chunk_ref[:, :]
+
+            def step(i, carry):
+                s, pos, acc_lm, acc_d = carry
+                j = h * EPOCH + i
+                gstep = se * SUPER + j
+                active = gstep < num
+                ent = _lookup(v_tab_ref, s, 3)
+                base = _lookup(v_base_ref, s, 3)
+                k = jnp.where(lane < 3, ent & 15, 0)
+                nb = jnp.where(lane < 3, (ent >> 4) & 15, 0)
+                delta = ent >> 8
+                # stream order per lane i: pull k_i then nb_i, lanes 0,1,2
+                knb = k + nb
+                # exclusive prefix: pre_i = sum_{j<i} knb_j
+                pre = _masked_roll(knb, 1) + _masked_roll(knb, 2)
+                p_state = pos - pre - k
+                p_extra = p_state - nb
+                sbits = _extract(chunk, base_vec, p_state, k)
+                vbits = _extract(chunk, base_vec, p_extra, nb)
+                value = base + vbits
+                new_s = jnp.where(active, sbits + delta, s)
+                new_pos = jnp.where(
+                    active,
+                    jnp.min(jnp.where(lane < 3, p_extra, jnp.int32(2**30)),
+                            axis=1, keepdims=True) + jnp.zeros_like(pos),
+                    pos)
+                value = jnp.where(active, value, 0)
+                lm = value + (_neg_roll(value, 1) << 16)   # l | m << 16
+                d_v = _neg_roll(value, 2)
+                acc_lm = jnp.where(lane == j, _lane0_bcast(lm, lane), acc_lm)
+                acc_d = jnp.where(lane == j, _lane0_bcast(d_v, lane), acc_d)
+                return (new_s, new_pos, acc_lm, acc_d)
+
+            return jax.lax.fori_loop(0, EPOCH, step, (s, pos, acc_lm, acc_d))
+
+        s, pos, acc_lm, acc_d = jax.lax.fori_loop(
+            0, SUPER // EPOCH, half, (s, pos, acc_lm, acc_d))
+        off = pl.multiple_of(se * SUPER, SUPER)
+        out_lm_ref[:, pl.ds(off, SUPER)] = acc_lm
+        out_d_ref[:, pl.ds(off, SUPER)] = acc_d
+        return (s, pos)
+
+    n_super = (n_steps + SUPER - 1) // SUPER
+    s, pos = jax.lax.fori_loop(0, n_super, superepoch, (states0, pos0))
+    fs_ref[:, :] = s
+    fpos_ref[:, :] = pos
+
+
+R_ROWS = 32  # blocks per grid step; loop overhead amortizes ~linearly in R
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps",))
+def decode_literals_pallas(u_tab, win_words, init_states, init_pos, num,
+                           n_steps: int):
+    """Batched 4-lane literal decode.
+
+    u_tab: (B, 1024) packed int32; win_words: (B, W) uint32 LE words of the
+    padded literal payload; init_states: (B, 128) int32 (lanes 0..3);
+    init_pos/num: (B, 128) int32 broadcast. B must be a multiple of R_ROWS.
+    Returns (packed literals (B, n_steps) int32, final_states (B, 128),
+    final_pos (B, 128)).
+    """
+    B, W = win_words.shape
+    assert B % R_ROWS == 0
+    grid = (B // R_ROWS,)
+    n_out = (n_steps + SUPER - 1) // SUPER * SUPER
+    kernel = functools.partial(_literal_kernel, r_rows=R_ROWS,
+                               n_steps=n_steps, w_words=W)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((R_ROWS, 1024), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_ROWS, W), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_ROWS, 128), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_ROWS, 128), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_ROWS, 128), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R_ROWS, n_out), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_ROWS, 128), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_ROWS, 128), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_out), jnp.int32),
+            jax.ShapeDtypeStruct((B, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R_ROWS, 256), jnp.int32),
+            pltpu.VMEM((R_ROWS, 128), jnp.int32),
+        ],
+    )(u_tab, win_words, init_states, init_pos, num)
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps",))
+def decode_lmds_pallas(v_tab, v_base, win_words, init_states, init_pos, num,
+                       n_steps: int):
+    """Batched 3-lane LMD decode. Shapes as decode_literals_pallas; v tables
+    are (B, 384). Returns (lm_packed (B, n_steps) int32 = l | m << 16,
+    d (B, n_steps) int32, final_states, final_pos)."""
+    B, W = win_words.shape
+    assert B % R_ROWS == 0
+    grid = (B // R_ROWS,)
+    n_out = (n_steps + SUPER - 1) // SUPER * SUPER
+    kernel = functools.partial(_lmd_kernel, r_rows=R_ROWS, n_steps=n_steps,
+                               w_words=W)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((R_ROWS, 384), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_ROWS, 384), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_ROWS, W), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_ROWS, 128), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_ROWS, 128), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_ROWS, 128), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R_ROWS, n_out), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_ROWS, n_out), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_ROWS, 128), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_ROWS, 128), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_out), jnp.int32),
+            jax.ShapeDtypeStruct((B, n_out), jnp.int32),
+            jax.ShapeDtypeStruct((B, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R_ROWS, 256), jnp.int32),
+            pltpu.VMEM((R_ROWS, 128), jnp.int32),
+        ],
+    )(v_tab, v_base, win_words, init_states, init_pos, num)
