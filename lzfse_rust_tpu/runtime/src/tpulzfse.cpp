@@ -1,0 +1,1021 @@
+// tpulzfse — native host runtime for the TPU-native LZFSE framework.
+//
+// Role: the sequential host data path (container assembly, scalar codec,
+// streaming IO) that complements the TPU batch kernels — the moral
+// equivalent of the reference crate's native core. The format semantics
+// mirror the Python spec layer (lzfse_rust_tpu/spec/*), which is validated
+// bit-exact against the reference fixtures; format constants follow
+// /root/reference/src/fse/constants.rs and src/vn/constants.rs.
+//
+// C ABI:
+//   tl_decode_bound(src, n)          -> decoded size (probe) or -errcode
+//   tl_decode(src, n, dst, cap)      -> decoded size or -errcode
+//   tl_encode_bound(n)               -> worst-case container size
+//   tl_encode(src, n, dst, cap)      -> encoded size or -errcode
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------- constants
+constexpr uint32_t MAGIC_EOS = 0x24787662, MAGIC_RAW = 0x2D787662,
+                   MAGIC_VX1 = 0x31787662, MAGIC_VX2 = 0x32787662,
+                   MAGIC_VXN = 0x6E787662;
+
+constexpr int LMDS_PER_BLOCK = 10000, LITERALS_PER_BLOCK = 40000;
+constexpr int L_SYMS = 20, M_SYMS = 20, D_SYMS = 64, U_SYMS = 256;
+constexpr int L_STATES = 64, M_STATES = 64, D_STATES = 256, U_STATES = 1024;
+constexpr int MAX_L = 315, MAX_M = 2359;
+constexpr uint32_t MAX_D = 262139;
+constexpr int N_WEIGHTS = 360;
+constexpr int V1_HEADER = 0x32, V2_HEADER = 0x20;
+constexpr int V1_WEIGHTS = N_WEIGHTS * 2 + 2;
+constexpr int V2_WEIGHTS_MAX = (N_WEIGHTS * 14 + 7) / 8;
+
+static const uint8_t L_EXTRA[L_SYMS] = {0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,2,3,5,8};
+static const int32_t L_BASE[L_SYMS]  = {0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,20,28,60};
+static const uint8_t M_EXTRA[M_SYMS] = {0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,3,5,8,11};
+static const int32_t M_BASE[M_SYMS]  = {0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,24,56,312};
+static const uint8_t D_EXTRA[D_SYMS] = {
+    0,0,0,0,1,1,1,1,2,2,2,2,3,3,3,3,4,4,4,4,5,5,5,5,6,6,6,6,7,7,7,7,
+    8,8,8,8,9,9,9,9,10,10,10,10,11,11,11,11,12,12,12,12,13,13,13,13,
+    14,14,14,14,15,15,15,15};
+static const int32_t D_BASE[D_SYMS] = {
+    0,1,2,3,4,6,8,10,12,16,20,24,28,36,44,52,60,76,92,108,124,156,188,220,
+    252,316,380,444,508,636,764,892,1020,1276,1532,1788,2044,2556,3068,3580,
+    4092,5116,6140,7164,8188,10236,12284,14332,16380,20476,24572,28668,32764,
+    40956,49148,57340,65532,81916,98300,114684,131068,163836,196604,229372};
+
+// derived value->symbol tables
+struct Derived {
+  uint8_t l_sym[MAX_L + 1];
+  uint8_t m_sym[MAX_M + 1];
+  uint8_t d_sym[256];
+  Derived() {
+    for (int s = 0; s < L_SYMS; s++)
+      for (int v = L_BASE[s]; v < L_BASE[s] + (1 << L_EXTRA[s]); v++) l_sym[v] = s;
+    for (int s = 0; s < M_SYMS; s++)
+      for (int v = M_BASE[s]; v < M_BASE[s] + (1 << M_EXTRA[s]); v++) m_sym[v] = s;
+    for (int s = 0; s < D_SYMS; s++)
+      for (int v = D_BASE[s]; v < D_BASE[s] + (1 << D_EXTRA[s]); v++) {
+        int idx = v < 60 ? v : v < 1020 ? ((v - 60) >> 4) + 64
+                  : v < 16380 ? ((v - 1020) >> 8) + 128 : ((v - 16380) >> 12) + 192;
+        d_sym[idx] = s;
+      }
+  }
+};
+static const Derived DV;
+
+static inline int d_index(uint32_t v) {
+  return v < 60 ? (int)v : v < 1020 ? (int)((v - 60) >> 4) + 64
+         : v < 16380 ? (int)((v - 1020) >> 8) + 128 : (int)((v - 16380) >> 12) + 192;
+}
+
+// errors (negative return codes)
+enum Err {
+  E_OK = 0, E_UNDERFLOW = 1, E_OVERFLOW = 2, E_BADBLOCK = 3, E_BADBITS = 4,
+  E_FSE = 5, E_VN = 6, E_BADD = 7, E_CAP = 8, E_INTERNAL = 9,
+};
+
+static inline uint32_t rd32(const uint8_t* p) { uint32_t v; memcpy(&v, p, 4); return v; }
+static inline uint64_t rd64(const uint8_t* p) { uint64_t v; memcpy(&v, p, 8); return v; }
+static inline void wr32(uint8_t* p, uint32_t v) { memcpy(p, &v, 4); }
+static inline void wr64(uint8_t* p, uint64_t v) { memcpy(p, &v, 8); }
+
+// ------------------------------------------------------------ bit streams
+// Backwards reader over a payload copied into a padded scratch: absolute bit
+// position model (see spec/bits.py). Reads below bit 0 yield zeros.
+struct BitRd {
+  const uint8_t* buf;  // padded: 8 zero bytes precede logical payload
+  int64_t pos;         // bits remaining (absolute position)
+  // payload includes its own leading 8-byte pad region already
+  bool init(const uint8_t* padded, size_t payload_len, int off) {
+    if (off > 7) return false;
+    if (payload_len < 8) return false;
+    if (off && (rd64(padded + 8 + payload_len - 8) >> (64 - off)) != 0) return false;
+    buf = padded;  // buf[8..] is the payload
+    pos = (int64_t)payload_len * 8 - off + 64;  // +64 for front scratch pad
+    return true;
+  }
+  inline uint32_t pull(int n) {
+    pos -= n;
+    int64_t p = pos < 0 ? 0 : pos;
+    uint64_t w = rd64(buf + (p >> 3));
+    uint32_t bits = (uint32_t)((w >> (p & 7)) & ((1u << n) - 1));
+    return pos < 0 ? 0u : bits;
+  }
+  bool finalize() const { return pos >= 64 + 64; }  // scratch pad + stream pad
+};
+
+// Forward writer: little-endian accumulator append.
+struct BitWr {
+  std::vector<uint8_t>* out;
+  uint64_t accum = 0;
+  int bits = 0;
+  inline void push(uint32_t v, int n) {
+    accum |= (uint64_t)v << bits;
+    bits += n;
+    while (bits >= 8) { out->push_back((uint8_t)accum); accum >>= 8; bits -= 8; }
+  }
+  int finalize() {  // returns off
+    if (!bits) return 0;
+    out->push_back((uint8_t)accum);
+    int off = 8 - bits;
+    accum = 0; bits = 0;
+    return off;
+  }
+};
+
+// ------------------------------------------------------------ weights codec
+static int decode_weight(uint32_t u, int* w) {
+  static const uint8_t BITS[32] = {2,3,2,5,2,3,2,8,2,3,2,5,2,3,2,14,
+                                   2,3,2,5,2,3,2,8,2,3,2,5,2,3,2,14};
+  static const int8_t VAL[32] = {0,2,1,4,0,3,1,-1,0,2,1,5,0,3,1,-1,
+                                 0,2,1,6,0,3,1,-1,0,2,1,7,0,3,1,-1};
+  int i = u & 0x1F, nb = BITS[i];
+  *w = nb == 8 ? 8 + ((u >> 4) & 0xF) : nb == 14 ? 24 + ((u >> 4) & 0x3FF) : VAL[i];
+  return nb;
+}
+
+static void encode_weight(int w, uint32_t* u, int* nb) {
+  switch (w) {
+    case 0: *u = 0; *nb = 2; return;   case 1: *u = 2; *nb = 2; return;
+    case 2: *u = 1; *nb = 3; return;   case 3: *u = 5; *nb = 3; return;
+    case 4: *u = 3; *nb = 5; return;   case 5: *u = 11; *nb = 5; return;
+    case 6: *u = 19; *nb = 5; return;  case 7: *u = 27; *nb = 5; return;
+    default:
+      if (w < 24) { *u = ((w - 8) << 4) + 7; *nb = 8; }
+      else { *u = ((w - 24) << 4) + 15; *nb = 14; }
+  }
+}
+
+// Weights::load_v2 (weights.rs:83-105)
+static int load_weights_v2(const uint8_t* src, size_t n, uint16_t* w) {
+  uint64_t accum = 0;
+  int accum_bits = 0;
+  size_t i = 0;
+  for (int k = 0; k < N_WEIGHTS; k++) {
+    while (i != n && accum_bits <= 24) { accum |= (uint64_t)src[i++] << accum_bits; accum_bits += 8; }
+    int wv; int nb = decode_weight((uint32_t)accum, &wv);
+    w[k] = (uint16_t)wv;
+    accum >>= nb;
+    accum_bits -= nb;
+  }
+  if (accum_bits < 0) return -E_FSE;
+  if (accum_bits >= 8 || i != n) return -E_FSE;
+  return 0;
+}
+
+static size_t store_weights_v2(const uint16_t* w, uint8_t* dst) {
+  uint64_t accum = 0; int bits = 0; size_t i = 0;
+  for (int k = 0; k < N_WEIGHTS; k++) {
+    uint32_t u; int nb; encode_weight(w[k], &u, &nb);
+    accum |= (uint64_t)u << bits; bits += nb;
+    while (bits >= 8) { dst[i++] = (uint8_t)accum; accum >>= 8; bits -= 8; }
+  }
+  if (bits > 0) dst[i++] = (uint8_t)accum;
+  return i;
+}
+
+static bool check_totals(const uint16_t* w) {
+  int64_t tl = 0, tm = 0, td = 0, tu = 0;
+  for (int i = 0; i < 20; i++) tl += w[i];
+  for (int i = 20; i < 40; i++) tm += w[i];
+  for (int i = 40; i < 104; i++) td += w[i];
+  for (int i = 104; i < 360; i++) tu += w[i];
+  return tl <= L_STATES && tm <= M_STATES && td <= D_STATES && tu <= U_STATES;
+}
+
+// normalize_m1 (weights.rs:218-278), exact integer model
+static void normalize_m1(uint16_t* w, int n, int64_t in_total, int out_total) {
+  if (in_total == 0) return;
+  int shift = __builtin_clz((uint32_t)out_total);
+  uint32_t multiply = (uint32_t)((1u << 31) / in_total);
+  uint32_t round = 1u << (shift - 1);
+  int32_t remaining = out_total;
+  uint32_t max_w = 0; int max_i = 0;
+  for (int i = 0; i < n; i++) {
+    if (!w[i]) continue;
+    uint32_t f = ((uint32_t)w[i] * multiply + round) >> shift;
+    if (!f) f = 1;
+    w[i] = (uint16_t)f;
+    remaining -= (int32_t)f;
+    if (f > max_w) { max_w = f; max_i = i; }
+  }
+  if (-remaining < (int32_t)w[max_i] / 4) {
+    w[max_i] = (uint16_t)((int32_t)w[max_i] + remaining);
+  } else {
+    uint32_t overflow = (uint32_t)(-remaining);
+    for (int shift2 = 3; shift2 >= 0 && overflow; shift2--)
+      for (int i = 0; i < n && overflow; i++) {
+        if (!w[i]) continue;
+        uint32_t d = ((uint32_t)(w[i] - 1)) >> shift2;
+        if (d > overflow) d = overflow;
+        w[i] = (uint16_t)(w[i] - d);
+        overflow -= d;
+      }
+  }
+}
+
+// ------------------------------------------------------------ decode tables
+struct VEntry { uint8_t k, vbits; int16_t delta; int32_t vbase; };
+struct UEntry { uint8_t k, sym; int16_t delta; };
+
+// decoder.rs:244-292 table build
+static void build_v_block(const uint16_t* w, int n_syms, const uint8_t* vbits,
+                          const int32_t* vbase, VEntry* tab, int n_states, int offset) {
+  int n_clz = __builtin_clz((uint32_t)n_states);
+  int total = 0;
+  for (int i = 0; i < n_syms; i++) {
+    int wv = w[i];
+    if (!wv) continue;
+    int k = __builtin_clz((uint32_t)wv) - n_clz;
+    int x = ((n_states << 1) >> k) - wv;
+    for (int j = 0; j < x; j++)
+      tab[total + j] = {(uint8_t)k, vbits[i], (int16_t)(((wv + j) << k) - n_states + offset), vbase[i]};
+    for (int j = x; j < wv; j++)
+      tab[total + j] = {(uint8_t)(k - 1), vbits[i], (int16_t)(((j - x) << (k - 1)) + offset), vbase[i]};
+    total += wv;
+  }
+  for (int s = total; s < n_states; s++) tab[s] = {0, 0, (int16_t)(offset + s), 0};
+}
+
+static void build_u_table(const uint16_t* w, UEntry* tab) {
+  int n_clz = __builtin_clz((uint32_t)U_STATES);
+  int total = 0;
+  for (int i = 0; i < U_SYMS; i++) {
+    int wv = w[i];
+    if (!wv) continue;
+    int k = __builtin_clz((uint32_t)wv) - n_clz;
+    int x = ((U_STATES << 1) >> k) - wv;
+    for (int j = 0; j < x; j++)
+      tab[total + j] = {(uint8_t)k, (uint8_t)i, (int16_t)(((wv + j) << k) - U_STATES)};
+    for (int j = x; j < wv; j++)
+      tab[total + j] = {(uint8_t)(k - 1), (uint8_t)i, (int16_t)((j - x) << (k - 1))};
+    total += wv;
+  }
+  for (int s = total; s < U_STATES; s++) tab[s] = {0, 0, (int16_t)s};
+}
+
+// ------------------------------------------------------------ encode tables
+struct EEntry { int16_t t_k, t_w; };
+static void build_e_table(const uint16_t* w, int n, int n_states, EEntry* tab) {
+  int n_clz = __builtin_clz((uint32_t)n_states);
+  int total = 0;
+  for (int i = 0; i < n; i++) {
+    int wv = w[i];
+    if (!wv) { tab[i] = {(int16_t)-n_states, 0}; }
+    else {
+      int k = __builtin_clz((uint32_t)wv) - n_clz;
+      tab[i] = {(int16_t)(1024 * k - (wv << k)), (int16_t)(n_states + total - wv)};
+    }
+    total += wv;
+  }
+}
+
+static inline void e_encode(BitWr& bw, uint32_t* state, const EEntry& e) {
+  uint32_t s = *state;
+  uint32_t nb = (uint32_t)((int32_t)(e.t_k + (int32_t)s)) >> 10;
+  *state = (uint32_t)(e.t_w + (int32_t)(s >> nb));
+  bw.push(s & ((1u << nb) - 1), (int)nb);
+}
+
+// ============================================================== DECODE SIDE
+
+struct Sink {
+  uint8_t* dst;
+  size_t cap, len = 0;
+  int write(const uint8_t* p, size_t n) {
+    if (len + n > cap) return -E_CAP;
+    memcpy(dst + len, p, n); len += n; return 0;
+  }
+  int write_match(uint32_t m, uint32_t d) {
+    if (d == 0 || d > len) return -E_BADD;
+    if (len + m > cap) return -E_CAP;
+    uint8_t* out = dst + len;
+    const uint8_t* src = out - d;
+    if (d >= m) { memcpy(out, src, m); }
+    else if (d >= 8) {
+      size_t done = 0;
+      while (done < m) { size_t c = d < m - done ? d : m - done; memcpy(out + done, src + done, c); done += c; }
+    } else {
+      for (uint32_t i = 0; i < m; i++) out[i] = src[i];
+    }
+    len += m;
+    return 0;
+  }
+};
+
+struct FseTables {
+  VEntry v[L_STATES + M_STATES + D_STATES];
+  UEntry u[U_STATES];
+  void init(const uint16_t* w) {
+    build_v_block(w, L_SYMS, L_EXTRA, L_BASE, v, L_STATES, 0);
+    build_v_block(w + 20, M_SYMS, M_EXTRA, M_BASE, v + L_STATES, M_STATES, L_STATES);
+    build_v_block(w + 40, D_SYMS, D_EXTRA, D_BASE, v + L_STATES + M_STATES, D_STATES, L_STATES + M_STATES);
+    build_u_table(w + 104, u);
+  }
+};
+
+struct FseHeader {
+  uint32_t n_raw_bytes;
+  uint32_t lit_num, lit_pay, lit_bits; uint16_t lit_state[4];
+  uint32_t lmd_num, lmd_pay, lmd_bits; uint16_t lmd_state[3];
+};
+
+static int parse_v2_header(const uint8_t* p, FseHeader* h, uint32_t* n_weights) {
+  h->n_raw_bytes = rd32(p + 4);
+  uint64_t a = rd64(p + 8), b = rd64(p + 16), c = rd64(p + 24);
+  h->lit_num = a & 0xFFFFF;
+  h->lit_pay = (a >> 20) & 0xFFFFF;
+  h->lmd_num = (a >> 40) & 0xFFFFF;
+  h->lit_bits = 7 - (uint32_t)(a >> 60);
+  h->lit_state[0] = b & 0x3FF; h->lit_state[1] = (b >> 10) & 0x3FF;
+  h->lit_state[2] = (b >> 20) & 0x3FF; h->lit_state[3] = (b >> 30) & 0x3FF;
+  h->lmd_pay = (b >> 40) & 0xFFFFF;
+  h->lmd_bits = 7 - (uint32_t)((b >> 60) & 7);
+  uint32_t header_size = (uint32_t)c;
+  h->lmd_state[0] = (c >> 32) & 0x3FF; h->lmd_state[1] = (c >> 42) & 0x3FF;
+  h->lmd_state[2] = (c >> 52) & 0x3FF;
+  *n_weights = header_size - V2_HEADER;
+  return 0;
+}
+
+static inline uint16_t rd16(const uint8_t* p) { uint16_t v; memcpy(&v, p, 2); return v; }
+
+static int parse_v1_header(const uint8_t* p, FseHeader* h) {
+  h->n_raw_bytes = rd32(p + 4);
+  uint32_t n_pay = rd32(p + 8);
+  h->lit_num = rd32(p + 12);
+  h->lmd_num = rd32(p + 16);
+  h->lit_pay = rd32(p + 20);
+  h->lmd_pay = rd32(p + 24);
+  h->lit_bits = (uint32_t)(-(int32_t)rd32(p + 28));
+  for (int i = 0; i < 4; i++) h->lit_state[i] = rd16(p + 32 + 2 * i);
+  h->lmd_bits = (uint32_t)(-(int32_t)rd32(p + 40));
+  for (int i = 0; i < 3; i++) h->lmd_state[i] = rd16(p + 44 + 2 * i);
+  if (n_pay < h->lit_pay + h->lmd_pay) return -E_FSE;
+  return 0;
+}
+
+static bool validate_header(const FseHeader& h) {
+  uint64_t lmd_cap = 1024 + 8 + ((uint64_t)h.lmd_num * 54 + 7) / 8;
+  uint64_t lit_cap = 1024 + ((uint64_t)h.lit_num * 10 + 7) / 8;
+  if (h.lit_num % 4 || h.lit_num > LITERALS_PER_BLOCK || h.lit_pay > lit_cap) return false;
+  if (h.lmd_num > LMDS_PER_BLOCK || h.lmd_pay < 8 || h.lmd_pay > lmd_cap) return false;
+  if (h.lit_bits > 7 || h.lmd_bits > 7) return false;
+  for (int i = 0; i < 4; i++) if (h.lit_state[i] >= U_STATES) return false;
+  if (h.lmd_state[0] >= L_STATES || h.lmd_state[1] >= M_STATES || h.lmd_state[2] >= D_STATES) return false;
+  if ((uint64_t)h.n_raw_bytes > (uint64_t)h.lit_num + (uint64_t)h.lmd_num * MAX_M) return false;
+  return true;
+}
+
+struct FseDecoder {
+  FseTables tabs;
+  uint16_t weights[N_WEIGHTS];
+  uint8_t literals[LITERALS_PER_BLOCK + 64];
+  std::vector<uint8_t> scratch;
+
+  // payload: raw pointer/len from the container (includes leading 8-byte
+  // borrow/pad). Copies into a zero-padded scratch for safe 64-bit loads.
+  bool make_reader(BitRd* br, const uint8_t* payload, size_t n, int off) {
+    scratch.assign(n + 16, 0);
+    memcpy(scratch.data() + 8, payload, n);
+    return br->init(scratch.data(), n, off);
+  }
+
+  int decode_literals(const uint8_t* payload, size_t n, const FseHeader& h) {
+    BitRd br;
+    if (!make_reader(&br, payload, n, (int)h.lit_bits)) return -E_BADBITS;
+    int s0 = h.lit_state[0], s1 = h.lit_state[1], s2 = h.lit_state[2], s3 = h.lit_state[3];
+    for (uint32_t i = 0; i < h.lit_num; i += 4) {
+      const UEntry& e0 = tabs.u[s0]; literals[i] = e0.sym; s0 = (int)br.pull(e0.k) + e0.delta;
+      const UEntry& e1 = tabs.u[s1]; literals[i + 1] = e1.sym; s1 = (int)br.pull(e1.k) + e1.delta;
+      const UEntry& e2 = tabs.u[s2]; literals[i + 2] = e2.sym; s2 = (int)br.pull(e2.k) + e2.delta;
+      const UEntry& e3 = tabs.u[s3]; literals[i + 3] = e3.sym; s3 = (int)br.pull(e3.k) + e3.delta;
+    }
+    if (!br.finalize()) return -E_UNDERFLOW;
+    if (s0 | s1 | s2 | s3) return -E_FSE;
+    return 0;
+  }
+
+  int decode_lmds_to(Sink& sink, const uint8_t* payload, size_t n, const FseHeader& h) {
+    BitRd br;
+    if (!make_reader(&br, payload, n, (int)h.lmd_bits)) return -E_BADBITS;
+    int sl = h.lmd_state[0], sm = h.lmd_state[1] + L_STATES,
+        sd = h.lmd_state[2] + L_STATES + M_STATES;
+    uint32_t lit_idx = 0, n_match = 0, dist = 0;
+    for (uint32_t i = 0; i < h.lmd_num; i++) {
+      const VEntry& el = tabs.v[sl];
+      sl = (int)br.pull(el.k) + el.delta;
+      uint32_t l = el.vbase + br.pull(el.vbits);
+      const VEntry& em = tabs.v[sm];
+      sm = (int)br.pull(em.k) + em.delta;
+      uint32_t m = em.vbase + br.pull(em.vbits);
+      const VEntry& ed = tabs.v[sd];
+      sd = (int)br.pull(ed.k) + ed.delta;
+      uint32_t d = ed.vbase + br.pull(ed.vbits);
+      if (d) dist = d;
+      if (lit_idx + l > h.lit_num || lit_idx + l > LITERALS_PER_BLOCK) return -E_FSE;
+      int rc = sink.write(literals + lit_idx, l);
+      if (rc) return rc;
+      lit_idx += l;
+      if (m) {
+        n_match += m;
+        rc = sink.write_match(m, dist);
+        if (rc) return rc;
+      }
+    }
+    if (!br.finalize()) return -E_UNDERFLOW;
+    if (sl != 0 || sm != L_STATES || sd != L_STATES + M_STATES) return -E_FSE;
+    if (lit_idx > h.lit_num || n_match + lit_idx != h.n_raw_bytes) return -E_FSE;
+    return 0;
+  }
+};
+
+// LZVN op decode (src/vn/constants.rs:38-72 grammar)
+static int decode_vn(Sink& sink, const uint8_t* p, size_t n_pay, uint32_t n_raw) {
+  size_t i = 0;
+  size_t raw0 = sink.len;
+  uint32_t dist = 0;
+  for (;;) {
+    if (i + 8 > n_pay) return -E_UNDERFLOW;
+    uint8_t op = p[i];
+    uint32_t l, m, d;
+    size_t c;
+    if (op >= 0xF0) {          // SmlM / LrgM
+      if (op == 0xF0) { m = p[i + 1] + 0x10u; c = 2; } else { m = op & 0xF; c = 1; }
+      int rc = sink.write_match(m, dist);
+      if (rc) return rc;
+      i += c;
+      continue;
+    }
+    if (op >= 0xE0) {          // SmlL / LrgL
+      if (op == 0xE0) { l = p[i + 1] + 0x10u; c = 2; } else { l = op & 0xF; c = 1; }
+      if (i + c + l + 8 > n_pay) return -E_UNDERFLOW;
+      int rc = sink.write(p + i + c, l);
+      if (rc) return rc;
+      i += c + l;
+      continue;
+    }
+    if ((op & 0xE0) == 0xA0) { // MedD
+      uint32_t opu = (uint32_t)p[i] | ((uint32_t)p[i + 1] << 8) | ((uint32_t)p[i + 2] << 16);
+      m = (((opu & 7) << 2) | ((opu >> 8) & 3)) + 3;
+      l = (opu >> 3) & 3;
+      d = (opu >> 10) & 0x3FFF;
+      c = 3;
+    } else if ((op >= 0x70 && op <= 0x7F) || (op >= 0xD0 && op <= 0xDF)) {
+      return -E_VN;              // Udef rows (constants.rs:54-55, 66-67)
+    } else if ((op & 7) == 7) {  // LrgD
+      m = ((op >> 3) & 7) + 3;
+      l = (op >> 6) & 3;
+      d = (uint32_t)p[i + 1] | ((uint32_t)p[i + 2] << 8);
+      c = 3;
+    } else if ((op & 7) == 6) {  // specials + PreD
+      if (op == 0x06) {          // EOS
+        if (memcmp(p + i, "\x06\x00\x00\x00\x00\x00\x00\x00", 8)) return -E_VN;
+        i += 8;
+        break;
+      }
+      if (op == 0x0E || op == 0x16) { i += 1; continue; }        // Nop
+      if (op == 0x1E || op == 0x26 || op == 0x2E || op == 0x36 || op == 0x3E)
+        return -E_VN;            // Udef
+      m = ((op >> 3) & 7) + 3;   // PreD
+      l = (op >> 6) & 3;
+      d = dist;
+      c = 1;
+    } else {                     // SmlD
+      m = ((op >> 3) & 7) + 3;
+      l = (op >> 6) & 3;
+      d = (((uint32_t)op & 7) << 8) | p[i + 1];
+      c = 2;
+    }
+    if (i + c + l + 8 > n_pay) return -E_UNDERFLOW;
+    int rc = sink.write(p + i + c, l);
+    if (rc) return rc;
+    rc = sink.write_match(m, d);
+    if (rc) return rc;
+    dist = d;
+    i += c + l;
+  }
+  if (i != n_pay) return i < n_pay ? -E_OVERFLOW : -E_UNDERFLOW;
+  if (sink.len - raw0 != n_raw) return -E_VN;
+  return 0;
+}
+
+static int64_t decode_container(const uint8_t* src, size_t n, uint8_t* dst, size_t cap) {
+  Sink sink{dst, cap};
+  FseDecoder* fd = new FseDecoder();
+  size_t pos = 0;
+  int rc = 0;
+  for (;;) {
+    if (n - pos < 4) { rc = -E_UNDERFLOW; break; }
+    uint32_t magic = rd32(src + pos);
+    if (magic == MAGIC_EOS) {
+      pos += 4;
+      if (pos != n) rc = -E_OVERFLOW;
+      break;
+    }
+    if (magic == MAGIC_VX2 || magic == MAGIC_VX1) {
+      FseHeader h;
+      uint32_t n_weights;
+      size_t header;
+      if (magic == MAGIC_VX2) {
+        if (n - pos < (size_t)V2_HEADER) { rc = -E_UNDERFLOW; break; }
+        parse_v2_header(src + pos, &h, &n_weights);
+        if (n_weights > (uint32_t)V2_WEIGHTS_MAX) { rc = -E_FSE; break; }
+        header = V2_HEADER;
+      } else {
+        if (n - pos < (size_t)V1_HEADER) { rc = -E_UNDERFLOW; break; }
+        rc = parse_v1_header(src + pos, &h);
+        if (rc) break;
+        n_weights = V1_WEIGHTS;
+        header = V1_HEADER;
+      }
+      if (!validate_header(h)) { rc = -E_FSE; break; }
+      if (n - pos < header + n_weights + h.lit_pay + h.lmd_pay) { rc = -E_UNDERFLOW; break; }
+      if (magic == MAGIC_VX2) {
+        rc = load_weights_v2(src + pos + header, n_weights, fd->weights);
+        if (rc) break;
+      } else {
+        for (int i = 0; i < N_WEIGHTS; i++) fd->weights[i] = rd16(src + pos + header + 2 * i);
+      }
+      if (!check_totals(fd->weights)) { rc = -E_FSE; break; }
+      fd->tabs.init(fd->weights);
+      const uint8_t* lit_payload = src + pos + header + n_weights - 8;  // borrow 8
+      rc = fd->decode_literals(lit_payload, h.lit_pay + 8, h);
+      if (rc) break;
+      const uint8_t* lmd_payload = src + pos + header + n_weights + h.lit_pay;
+      rc = fd->decode_lmds_to(sink, lmd_payload, h.lmd_pay, h);
+      if (rc) break;
+      pos += header + n_weights + h.lit_pay + h.lmd_pay;
+    } else if (magic == MAGIC_VXN) {
+      if (n - pos < 12) { rc = -E_UNDERFLOW; break; }
+      uint32_t n_raw = rd32(src + pos + 4), n_pay = rd32(src + pos + 8);
+      if (n - pos < 12 + (size_t)n_pay) { rc = -E_UNDERFLOW; break; }
+      rc = decode_vn(sink, src + pos + 12, n_pay, n_raw);
+      if (rc) break;
+      pos += 12 + n_pay;
+    } else if (magic == MAGIC_RAW) {
+      if (n - pos < 8) { rc = -E_UNDERFLOW; break; }
+      uint32_t n_raw = rd32(src + pos + 4);
+      if (n - pos < 8 + (size_t)n_raw) { rc = -E_UNDERFLOW; break; }
+      rc = sink.write(src + pos + 8, n_raw);
+      if (rc) break;
+      pos += 8 + n_raw;
+    } else {
+      rc = -E_BADBLOCK;
+      break;
+    }
+  }
+  size_t out = sink.len;
+  delete fd;
+  return rc ? rc : (int64_t)out;
+}
+
+// probe: decode size without decompressing (src/decode/probe.rs)
+static int64_t probe_container(const uint8_t* src, size_t n) {
+  size_t pos = 0;
+  uint64_t raw = 0;
+  for (;;) {
+    if (n - pos < 4) return -E_UNDERFLOW;
+    uint32_t magic = rd32(src + pos);
+    if (magic == MAGIC_EOS) { pos += 4; return pos == n ? (int64_t)raw : -E_OVERFLOW; }
+    if (magic == MAGIC_VX2) {
+      if (n - pos < (size_t)V2_HEADER) return -E_UNDERFLOW;
+      FseHeader h; uint32_t nw;
+      parse_v2_header(src + pos, &h, &nw);
+      if (nw > (uint32_t)V2_WEIGHTS_MAX || !validate_header(h)) return -E_FSE;
+      raw += h.n_raw_bytes;
+      pos += V2_HEADER + nw + h.lit_pay + h.lmd_pay;
+    } else if (magic == MAGIC_VX1) {
+      if (n - pos < (size_t)V1_HEADER) return -E_UNDERFLOW;
+      FseHeader h;
+      if (parse_v1_header(src + pos, &h) || !validate_header(h)) return -E_FSE;
+      raw += h.n_raw_bytes;
+      pos += V1_HEADER + V1_WEIGHTS + h.lit_pay + h.lmd_pay;
+    } else if (magic == MAGIC_VXN) {
+      if (n - pos < 12) return -E_UNDERFLOW;
+      raw += rd32(src + pos + 4);
+      pos += 12 + rd32(src + pos + 8);
+    } else if (magic == MAGIC_RAW) {
+      if (n - pos < 8) return -E_UNDERFLOW;
+      uint32_t r = rd32(src + pos + 4);
+      raw += r;
+      pos += 8 + r;
+    } else return -E_BADBLOCK;
+    if (pos > n) return -E_UNDERFLOW;
+  }
+}
+
+// ============================================================== ENCODE SIDE
+
+// History table: 2^14 buckets x 4-way FIFO (src/encode/history.rs)
+constexpr int HASH_BITS = 14, HASH_WIDTH = 4;
+constexpr uint32_t GOOD_MATCH = 0x28;
+
+struct HistItem { uint32_t val; int32_t pos; };
+struct History { HistItem q[HASH_WIDTH]; };
+
+static inline uint32_t hash_fse(uint32_t v) { return (v * 0x9E3779B1u) >> (32 - HASH_BITS); }
+static inline uint32_t hash_vn(uint32_t v) { return ((v & 0xFFFFFF) * 0x9E3779B1u) >> (32 - HASH_BITS); }
+
+static inline size_t lcp_fwd(const uint8_t* s, size_t i, size_t j, size_t len, size_t max) {
+  while (len + 8 <= max) {
+    uint64_t x = rd64(s + i + len) ^ rd64(s + j + len);
+    if (x) return len + (__builtin_ctzll(x) >> 3);
+    len += 8;
+  }
+  while (len < max && s[i + len] == s[j + len]) len++;
+  return len;
+}
+
+static inline size_t lcp_bwd(const uint8_t* s, size_t i, size_t j, size_t max) {
+  size_t len = 0;
+  while (len < max && s[i - len - 1] == s[j - len - 1]) len++;
+  return len;
+}
+
+// FSE encode backend (fse/backend.rs + buffer.rs semantics)
+struct FseBackend {
+  uint8_t lits[LITERALS_PER_BLOCK + 8];
+  struct Lmd { uint16_t l, m; uint32_t d; };
+  Lmd lmds[LMDS_PER_BLOCK];
+  int n_lit = 0, n_lmd = 0;
+  uint32_t n_match_bytes = 0, match_distance = 0;
+  std::vector<uint8_t>* out;
+
+  void reset() { n_lit = 0; n_lmd = 0; n_match_bytes = 0; match_distance = 0; }
+
+  void push_l(uint16_t l) {
+    match_distance = 1;
+    lmds[n_lmd++] = {l, 0, 1};
+  }
+  void push_lmd(uint16_t l, uint16_t m, uint32_t d) {
+    lmds[n_lmd++] = {l, m, match_distance == d ? 0u : d};
+    match_distance = d;
+    n_match_bytes += m;
+  }
+
+  // Buffer::push (fse/buffer.rs:44-97). Returns true when fully consumed.
+  bool push(const uint8_t** lit, size_t* lit_len, uint32_t* m, uint32_t d) {
+    while (*lit_len > MAX_L) {
+      if (n_lmd == LMDS_PER_BLOCK) return false;
+      uint32_t limit = LITERALS_PER_BLOCK - n_lit;
+      if (MAX_L <= limit) {
+        memcpy(lits + n_lit, *lit, MAX_L); n_lit += MAX_L; *lit += MAX_L; *lit_len -= MAX_L;
+        push_l(MAX_L);
+      } else if (limit) {
+        memcpy(lits + n_lit, *lit, limit); n_lit += limit; *lit += limit; *lit_len -= limit;
+        push_l((uint16_t)limit);
+        return false;
+      } else return false;
+    }
+    if (n_lmd == LMDS_PER_BLOCK) return false;
+    uint32_t literal_len = (uint32_t)*lit_len;
+    uint32_t limit = LITERALS_PER_BLOCK - n_lit;
+    if (literal_len <= limit) {
+      memcpy(lits + n_lit, *lit, literal_len); n_lit += literal_len; *lit += literal_len; *lit_len = 0;
+    } else if (limit) {
+      memcpy(lits + n_lit, *lit, limit); n_lit += limit; *lit += limit; *lit_len -= limit;
+      push_l((uint16_t)limit);
+      return false;
+    } else return false;
+    while (*m > MAX_M) {
+      push_lmd((uint16_t)literal_len, MAX_M, d);
+      *m -= MAX_M;
+      literal_len = 0;
+      if (n_lmd == LMDS_PER_BLOCK) return false;
+    }
+    push_lmd((uint16_t)literal_len, (uint16_t)*m, d);
+    *m = 0;
+    return true;
+  }
+
+  void push_match(const uint8_t* lit, size_t lit_len, uint32_t m, uint32_t d) {
+    for (;;) {
+      if (push(&lit, &lit_len, &m, d)) return;
+      emit_block();
+    }
+  }
+  void push_literals(const uint8_t* lit, size_t lit_len) { push_match(lit, lit_len, 0, 1); }
+  void finalize() { emit_block(); }
+
+  void emit_block() {
+    // weights from unpadded content (emit_block_v2, fse/backend.rs:39-54)
+    uint16_t w[N_WEIGHTS];
+    memset(w, 0, sizeof w);
+    for (int i = 0; i < n_lmd; i++) {
+      w[DV.l_sym[lmds[i].l]]++;
+      w[20 + DV.m_sym[lmds[i].m]]++;
+      w[40 + DV.d_sym[d_index(lmds[i].d)]]++;
+    }
+    for (int i = 0; i < n_lit; i++) w[104 + lits[i]]++;
+    if (n_lmd) {
+      normalize_m1(w, 20, n_lmd, L_STATES);
+      normalize_m1(w + 20, 20, n_lmd, M_STATES);
+      normalize_m1(w + 40, 64, n_lmd, D_STATES);
+    }
+    if (n_lit) normalize_m1(w + 104, 256, n_lit, U_STATES);
+
+    EEntry el[L_SYMS], em[M_SYMS], ed[D_SYMS], eu[U_SYMS];
+    build_e_table(w, L_SYMS, L_STATES, el);
+    build_e_table(w + 20, M_SYMS, M_STATES, em);
+    build_e_table(w + 40, D_SYMS, D_STATES, ed);
+    build_e_table(w + 104, U_SYMS, U_STATES, eu);
+
+    size_t mark = out->size();
+    out->resize(mark + V2_HEADER);  // placeholder header
+    uint8_t wbuf[V2_WEIGHTS_MAX];
+    size_t n_weights = store_weights_v2(w, wbuf);
+    out->insert(out->end(), wbuf, wbuf + n_weights);
+
+    // literals: pad to 4 with lits[0], reverse 4-state encode
+    int padded = (n_lit + 3) & ~3;
+    uint8_t pad_byte = n_lit ? lits[0] : 0;
+    for (int i = n_lit; i < padded; i++) lits[i] = pad_byte;
+    size_t lit_mark = out->size();
+    BitWr bw{out};
+    uint32_t u0 = U_STATES, u1 = U_STATES, u2 = U_STATES, u3 = U_STATES;
+    for (int i = padded; i > 0; i -= 4) {
+      e_encode(bw, &u3, eu[lits[i - 1]]);
+      e_encode(bw, &u2, eu[lits[i - 2]]);
+      e_encode(bw, &u1, eu[lits[i - 3]]);
+      e_encode(bw, &u0, eu[lits[i - 4]]);
+    }
+    int lit_off = bw.finalize();
+    uint32_t lit_pay = (uint32_t)(out->size() - lit_mark);
+
+    // lmds: 8-byte pad then reverse D,M,L encode
+    size_t lmd_mark = out->size();
+    out->insert(out->end(), 8, 0);
+    BitWr bw2{out};
+    uint32_t sl = L_STATES, sm = M_STATES, sd = D_STATES;
+    for (int i = n_lmd - 1; i >= 0; i--) {
+      const Lmd& t = lmds[i];
+      int dsym = DV.d_sym[d_index(t.d)];
+      bw2.push(t.d - D_BASE[dsym], D_EXTRA[dsym]);
+      e_encode(bw2, &sd, ed[dsym]);
+      int msym = DV.m_sym[t.m];
+      bw2.push(t.m - M_BASE[msym], M_EXTRA[msym]);
+      e_encode(bw2, &sm, em[msym]);
+      int lsym = DV.l_sym[t.l];
+      bw2.push(t.l - L_BASE[lsym], L_EXTRA[lsym]);
+      e_encode(bw2, &sl, el[lsym]);
+    }
+    int lmd_off = bw2.finalize();
+    uint32_t lmd_pay = (uint32_t)(out->size() - lmd_mark);
+
+    // patch the v2 header (block.rs:168-196)
+    uint8_t* hp = out->data() + mark;
+    wr32(hp, MAGIC_VX2);
+    wr32(hp + 4, (uint32_t)n_lit + n_match_bytes);
+    uint64_t a = (uint64_t)padded | ((uint64_t)lit_pay << 20) | ((uint64_t)n_lmd << 40)
+                 | ((uint64_t)(7 - lit_off) << 60);
+    wr64(hp + 8, a);
+    uint64_t b = (uint64_t)(u0 - U_STATES) | ((uint64_t)(u1 - U_STATES) << 10)
+                 | ((uint64_t)(u2 - U_STATES) << 20) | ((uint64_t)(u3 - U_STATES) << 30)
+                 | ((uint64_t)lmd_pay << 40) | ((uint64_t)(7 - lmd_off) << 60);
+    wr64(hp + 16, b);
+    uint64_t c = (uint64_t)(V2_HEADER + n_weights) | ((uint64_t)(sl - L_STATES) << 32)
+                 | ((uint64_t)(sm - M_STATES) << 42) | ((uint64_t)(sd - D_STATES) << 52);
+    wr64(hp + 24, c);
+    reset();
+  }
+};
+
+// LZVN backend (vn/backend.rs semantics)
+struct VnBackend {
+  std::vector<uint8_t>* out;
+  uint32_t match_distance = 0, n_literals = 0, n_match_bytes = 0;
+  size_t mark;
+
+  void init() {
+    mark = out->size();
+    out->insert(out->end(), 12, 0);  // header placeholder
+  }
+  void lits_ops(const uint8_t* lit, size_t n, bool allow_small_tail) {
+    size_t p = 0;
+    while (n - p >= 0x10) {
+      size_t take = n - p < 0x10F ? n - p : 0x10F;
+      out->push_back(0xE0);
+      out->push_back((uint8_t)(take - 0x10));
+      out->insert(out->end(), lit + p, lit + p + take);
+      p += take;
+    }
+    size_t rem = n - p;
+    if (rem > 0 && (allow_small_tail || rem >= 4)) {
+      out->push_back((uint8_t)(0xE0 | rem));
+      out->insert(out->end(), lit + p, lit + p + rem);
+      p += rem;
+    }
+    rem_start = p;
+  }
+  size_t rem_start = 0;
+
+  void push_literals(const uint8_t* lit, size_t n) {
+    n_literals += (uint32_t)n;
+    lits_ops(lit, n, true);
+  }
+
+  void push_match(const uint8_t* lit, size_t n, uint32_t m, uint32_t d) {
+    n_literals += (uint32_t)n;
+    n_match_bytes += m;
+    lits_ops(lit, n, false);
+    size_t l = n - rem_start;
+    const uint8_t* tail = lit + rem_start;
+    uint32_t mx = 0x0A - 2 * (uint32_t)l;
+    uint32_t mm = m < mx ? m : mx;
+    m -= mm;
+    if (d == match_distance) {
+      if (l == 0) {
+        out->push_back((uint8_t)(0xF0 | mm));
+      } else {  // PreD
+        out->push_back((uint8_t)((l << 6) | ((mm - 3) << 3) | 0x6));
+        out->insert(out->end(), tail, tail + l);
+      }
+    } else if (d < 0x600) {  // SmlD
+      out->push_back((uint8_t)((l << 6) | ((mm - 3) << 3) | ((d >> 8) & 7)));
+      out->push_back((uint8_t)(d & 0xFF));
+      out->insert(out->end(), tail, tail + l);
+    } else if (d >= 0x4000 || m == 0 || mm + m > 0x22) {  // LrgD
+      out->push_back((uint8_t)((l << 6) | ((mm - 3) << 3) | 0x7));
+      out->push_back((uint8_t)(d & 0xFF));
+      out->push_back((uint8_t)(d >> 8));
+      out->insert(out->end(), tail, tail + l);
+    } else {  // MedD
+      uint32_t md = mm - 3;
+      out->push_back((uint8_t)(0xA0 | (l << 3) | ((md >> 2) & 7)));
+      uint16_t rest = (uint16_t)((md & 3) | (d << 2));
+      out->push_back((uint8_t)(rest & 0xFF));
+      out->push_back((uint8_t)(rest >> 8));
+      out->insert(out->end(), tail, tail + l);
+    }
+    match_distance = d;
+    while (m > 0x0F) {
+      uint32_t take = m < 0x10F ? m : 0x10F;
+      out->push_back(0xF0);
+      out->push_back((uint8_t)(take - 0x10));
+      m -= take;
+    }
+    if (m) out->push_back((uint8_t)(0xF0 | m));
+  }
+
+  void finalize() {
+    static const uint8_t eos[8] = {0x06, 0, 0, 0, 0, 0, 0, 0};
+    out->insert(out->end(), eos, eos + 8);
+    uint8_t* hp = out->data() + mark;
+    wr32(hp, MAGIC_VXN);
+    wr32(hp + 4, n_literals + n_match_bytes);
+    wr32(hp + 8, (uint32_t)(out->size() - mark - 12));
+  }
+};
+
+// Frontend: sequential hot loop with the reference's exact selection
+// semantics (frontend_bytes.rs:160-268, match_object.rs:12-33).
+template <typename Backend, bool VN>
+static void run_frontend(const uint8_t* src, size_t n, Backend& backend) {
+  if (n < 4) {
+    if (n) backend.push_literals(src, n);
+    backend.finalize();
+    return;
+  }
+  std::vector<History> table(1 << HASH_BITS);
+  for (auto& h : table)
+    for (auto& item : h.q) item = {0, (int32_t)0 - 0x40000000};
+  const uint32_t max_d = VN ? 0xFFFF : MAX_D;
+  const uint32_t unit_mask = VN ? 0x00FFFFFF : 0xFFFFFFFF;
+
+  size_t limit = n - 3;
+  size_t literal_index = 0;
+  size_t index = 0;
+  struct M { size_t idx, midx; uint32_t len; } pending{0, 0, 0};
+
+  while (index < limit) {
+    uint32_t val = rd32(src + index);
+    History& bucket = table[VN ? hash_vn(val) : hash_fse(val)];
+    // probe before push? Reference pushes first, probing the pre-push copy.
+    History copy = bucket;
+    for (int i = HASH_WIDTH - 1; i > 0; i--) bucket.q[i] = bucket.q[i - 1];
+    bucket.q[0] = {val, (int32_t)index};
+
+    M inc{0, 0, 0};
+    for (int i = 0; i < HASH_WIDTH; i++) {
+      int64_t dist = (int64_t)index - copy.q[i].pos;
+      if (dist > (int64_t)max_d) break;
+      uint32_t x = val ^ copy.q[i].val;
+      uint32_t len;
+      if (x == 0) {
+        len = (uint32_t)lcp_fwd(src, index, (size_t)copy.q[i].pos, 4, n - index);
+      } else if (VN && (x & unit_mask) == 0) {
+        len = 3;
+      } else continue;
+      if (len > inc.len) { inc.len = len; inc.midx = (size_t)copy.q[i].pos; }
+    }
+    if (inc.len) {
+      inc.idx = index;
+      size_t ext = lcp_bwd(src, inc.idx, inc.midx,
+                           std::min(inc.idx - literal_index, inc.midx));
+      inc.idx -= ext;
+      inc.midx -= ext;
+      inc.len += (uint32_t)ext;
+
+      // Match::select
+      M sel{0, 0, 0};
+      bool emit = false;
+      if (inc.len >= GOOD_MATCH) { sel = inc; pending.len = 0; emit = true; }
+      else if (pending.len == 0) { pending = inc; }
+      else if (pending.idx + pending.len <= inc.idx) { sel = pending; pending = inc; emit = true; }
+      else if (inc.len > pending.len) { sel = inc; pending.len = 0; emit = true; }
+      else { sel = pending; pending.len = 0; emit = true; }
+
+      if (emit) {
+        backend.push_match(src + literal_index, sel.idx - literal_index,
+                           sel.len, (uint32_t)(sel.idx - sel.midx));
+        literal_index = sel.idx + sel.len;
+        if (literal_index >= limit) break;
+        size_t next = index + 1;
+        // sync_history: push skipped positions
+        while (next < literal_index) {
+          uint32_t v2 = rd32(src + next);
+          History& b2 = table[VN ? hash_vn(v2) : hash_fse(v2)];
+          for (int i = HASH_WIDTH - 1; i > 0; i--) b2.q[i] = b2.q[i - 1];
+          b2.q[0] = {v2, (int32_t)next};
+          next++;
+        }
+        index = next;
+        if (index >= limit) break;
+        continue;
+      }
+    }
+    index++;
+  }
+  if (pending.len && literal_index < limit) {
+    backend.push_match(src + literal_index, pending.idx - literal_index,
+                       pending.len, (uint32_t)(pending.idx - pending.midx));
+    literal_index = pending.idx + pending.len;
+  }
+  if (literal_index < n) backend.push_literals(src + literal_index, n - literal_index);
+  backend.finalize();
+}
+
+static int64_t encode_container(const uint8_t* src, size_t n, uint8_t* dst, size_t cap) {
+  std::vector<uint8_t> out;
+  out.reserve(n + n / 2 + 256);
+  if (n > 0x1000) {
+    FseBackend* fb = new FseBackend();
+    fb->out = &out;
+    run_frontend<FseBackend, false>(src, n, *fb);
+    delete fb;
+  } else if (n > 0x14) {
+    VnBackend vb;
+    vb.out = &out;
+    vb.init();
+    run_frontend<VnBackend, true>(src, n, vb);
+    // VN-not-smaller-than-raw rework (frontend_bytes.rs:92-99)
+    if (n < 0x4000 && n + 8 <= out.size()) {
+      out.clear();
+      out.resize(8 + n);
+      wr32(out.data(), MAGIC_RAW);
+      wr32(out.data() + 4, (uint32_t)n);
+      memcpy(out.data() + 8, src, n);
+    }
+  } else {
+    out.resize(8 + n);
+    wr32(out.data(), MAGIC_RAW);
+    wr32(out.data() + 4, (uint32_t)n);
+    memcpy(out.data() + 8, src, n);
+  }
+  uint32_t eos = MAGIC_EOS;
+  out.insert(out.end(), (uint8_t*)&eos, (uint8_t*)&eos + 4);
+  if (out.size() > cap) return -E_CAP;
+  memcpy(dst, out.data(), out.size());
+  return (int64_t)out.size();
+}
+
+}  // namespace
+
+extern "C" {
+
+long long tl_decode_bound(const char* src, size_t n) {
+  return probe_container((const uint8_t*)src, n);
+}
+
+long long tl_decode(const char* src, size_t n, char* dst, size_t cap) {
+  return decode_container((const uint8_t*)src, n, (uint8_t*)dst, cap);
+}
+
+long long tl_encode_bound(size_t n) {
+  // worst case: raw-ish expansion + per-block headers
+  return (long long)(n + n / 8 + 4096);
+}
+
+long long tl_encode(const char* src, size_t n, char* dst, size_t cap) {
+  return encode_container((const uint8_t*)src, n, (uint8_t*)dst, cap);
+}
+
+}  // extern "C"

@@ -1,0 +1,93 @@
+"""Native C++ runtime validation: parity with the spec layer and fixtures.
+
+The runtime (runtime/src/tpulzfse.cpp) is the host-side engine; it must agree
+with the spec oracle everywhere. Skipped when the shared library is absent
+(run lzfse_rust_tpu/runtime/build.sh).
+"""
+
+import hashlib
+import pathlib
+
+import numpy as np
+import pytest
+
+from lzfse_rust_tpu.runtime import native
+from lzfse_rust_tpu.spec import container as spec
+from lzfse_rust_tpu.spec.frontend import encode_bytes as spec_encode
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native runtime not built")
+
+
+def test_native_decode_fixtures(snappy_dir, mutate_dir):
+    for p in list(snappy_dir.glob("*.lzfse")) + list(mutate_dir.glob("*.lzfse")):
+        want = p.with_suffix(".hash").read_bytes()[:32].hex()
+        dec = native.decode_bytes(p.read_bytes())
+        assert hashlib.sha256(dec).hexdigest() == want, p.name
+
+
+def test_native_encode_matches_spec_encoder():
+    rng = np.random.default_rng(5)
+    cases = [b"", b"x", b"\x00" * 21, b"\x00" * 4097,
+             bytes(rng.integers(0, 5, 9000, dtype=np.uint8)),
+             bytes(rng.integers(0, 256, 5000, dtype=np.uint8)),
+             (b"hello world, " * 3000)]
+    for data in cases:
+        n_enc = native.encode_bytes(data)
+        assert n_enc == spec_encode(data), len(data)
+        assert native.decode_bytes(n_enc) == data
+
+
+def test_native_corpus_roundtrip_size(snappy_dir):
+    for name in ["html", "urls.10K"]:
+        apple = (snappy_dir / f"{name}.lzfse").read_bytes()
+        raw = native.decode_bytes(apple)
+        enc = native.encode_bytes(raw)
+        assert native.decode_bytes(enc) == raw
+        assert len(enc) <= len(apple)
+        # cross-engine: spec decodes native output
+        assert spec.decode_bytes(enc) == raw
+
+
+def test_native_rejects_mutations(mutate_dir):
+    """Bit-flip battery (tier-2 mutation strategy, test/src/mutate_0.rs):
+    every mutated container must decode gracefully — either an error code or
+    a successful decode (some flips land in don't-care bits), never a crash.
+    """
+    from lzfse_rust_tpu.base.errors import DecodeError
+    for name in ["raw", "vxn", "vx2", "vx1"]:
+        data = bytearray((mutate_dir / f"{name}.lzfse").read_bytes())
+        step = max(1, len(data) // 64)  # sample positions for test speed
+        for i in range(0, len(data), step):
+            for bit in (0, 7):
+                data[i] ^= 1 << bit
+                try:
+                    native.decode_bytes(bytes(data))
+                except DecodeError:
+                    pass
+                data[i] ^= 1 << bit
+
+
+def test_native_mutation_agreement_with_spec(mutate_dir):
+    """Mutated inputs must produce the same accept/reject decision (and the
+    same bytes when accepted) as the spec layer."""
+    from lzfse_rust_tpu.base.errors import DecodeError
+    data = bytearray((mutate_dir / "vx2.lzfse").read_bytes())
+    step = max(1, len(data) // 48)
+    for i in range(0, len(data), step):
+        data[i] ^= 0xFF
+        blob = bytes(data)
+        try:
+            n_out = native.decode_bytes(blob)
+            n_err = None
+        except DecodeError:
+            n_out, n_err = None, True
+        try:
+            s_out = spec.decode_bytes(blob)
+            s_err = None
+        except DecodeError:
+            s_out, s_err = None, True
+        assert (n_err is None) == (s_err is None), f"offset {i}"
+        if n_err is None:
+            assert n_out == s_out, f"offset {i}"
+        data[i] ^= 0xFF
