@@ -23,7 +23,13 @@ from ..base import constants as C
 from ..spec import frontend as FE
 from ..spec.match_find import MatchStream
 
-WINDOW_CAP = 1 << 22  # 4 MiB per device match window
+# Device match-window geometry. The padded device array N is static (one
+# compiled kernel); chunks leave 128 bytes of pad headroom. ~512 KiB mirrors
+# the reference ring engine's window (src/encode/constants.rs RING_SIZE);
+# 1 MiB windows have triggered TPU runtime faults in the 64-column window
+# materialization on v5e.
+WINDOW_N = 1 << 19
+WINDOW_CAP = WINDOW_N - 128
 
 
 def _bucket_pow2(x: int, lo: int = 4096) -> int:
@@ -43,7 +49,8 @@ class TpuEncoder:
         from ..ops.match_find_tpu import find_matches_device
 
         n = len(chunk)
-        N = _bucket_pow2(n + 128)
+        N = min(_bucket_pow2(n + 128), WINDOW_N)
+        assert n + 128 <= N
         src_pad = np.zeros(N, dtype=np.uint8)
         src_pad[:n] = np.frombuffer(chunk, dtype=np.uint8)
         pos, cand, fwd, back, valid = find_matches_device(
