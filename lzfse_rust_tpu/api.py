@@ -33,6 +33,10 @@ def _native():
 
 def encode_bytes(src: bytes) -> bytes:
     """One-shot buffer encode (reference: src/encode/mod.rs:58)."""
+    if len(src) > 0x7FFFFFFF:
+        raise NotImplementedError(
+            ">2GB single-buffer inputs (BLOCK_GUIDE windowing) are not yet "
+            "supported; use the streaming engine")
     n = _native()
     if n is not None:
         return n.encode_bytes(src)
@@ -158,6 +162,28 @@ class LzfseWriter(io.RawIOBase):
             self._inner.write(C.MAGIC_EOS.to_bytes(4, "little"))
             self._finalized = True
         super().close()
+
+
+class LzfseReaderBytes(io.RawIOBase):
+    """Pull-style reader over an in-memory buffer (reference:
+    LzfseReaderBytes)."""
+
+    def __init__(self, data: bytes):
+        super().__init__()
+        self._decoded = decode_bytes(data)
+        self._pos = 0
+
+    def readable(self) -> bool:
+        return True
+
+    def read(self, size: int = -1) -> bytes:
+        if size is None or size < 0:
+            out = self._decoded[self._pos:]
+            self._pos = len(self._decoded)
+            return out
+        out = self._decoded[self._pos:self._pos + size]
+        self._pos += len(out)
+        return out
 
 
 class LzfseReader(io.RawIOBase):

@@ -24,11 +24,11 @@ from ..spec import frontend as FE
 from ..spec.match_find import MatchStream
 
 # Device match-window geometry. The padded device array N is static (one
-# compiled kernel); chunks leave 128 bytes of pad headroom. ~512 KiB mirrors
-# the reference ring engine's window (src/encode/constants.rs RING_SIZE);
-# 1 MiB windows have triggered TPU runtime faults in the 64-column window
-# materialization on v5e.
-WINDOW_N = 1 << 19
+# compiled kernel per bucket); chunks leave 128 bytes of pad headroom.
+# 1 MiB windows cover the format's max match distance (262139) with room to
+# spare. (The earlier v5e runtime faults at >=512K were lax.while_loop in
+# the LCP extension, since replaced by a bounded fori_loop.)
+WINDOW_N = 1 << 20
 WINDOW_CAP = WINDOW_N - 128
 
 
@@ -58,13 +58,31 @@ class TpuEncoder:
         pos = np.asarray(pos)
         valid = np.asarray(valid)
         keep = valid
-        pos_k = pos[keep]
+        pos_k = pos[keep].astype(np.int64)
+        cand_k = np.asarray(cand)[keep].astype(np.int64)
+        fwd_k = np.asarray(fwd)[keep].astype(np.int64)
+        back_k = np.asarray(back)[keep].astype(np.int64)
+        # Host fix-up: device LCPs are bounded at DEV_LCP_MAX; finish the
+        # rare long runs exactly (spec/match_find galloping LCP).
+        from ..ops.match_find_tpu import DEV_LCP_MAX
+        from ..spec.match_find import _lcp_backward, _lcp_forward
+        src_arr = src_pad[:n]
+        long_f = np.flatnonzero((fwd_k >= DEV_LCP_MAX)
+                                & (pos_k + fwd_k < n))
+        if len(long_f):
+            fwd_k[long_f] = _lcp_forward(
+                src_arr, pos_k[long_f], cand_k[long_f], fwd_k[long_f],
+                (n - pos_k[long_f]).astype(np.int64))
+        long_b = np.flatnonzero((back_k >= DEV_LCP_MAX)
+                                & (back_k < np.minimum(cand_k, pos_k)))
+        if len(long_b):
+            back_k[long_b] = _lcp_backward(
+                src_arr, pos_k[long_b], cand_k[long_b],
+                np.minimum(cand_k, pos_k)[long_b])
         order = np.argsort(pos_k, kind="stable")
         return MatchStream(
-            pos=pos_k[order].astype(np.int64),
-            match_pos=np.asarray(cand)[keep][order].astype(np.int64),
-            fwd_len=np.asarray(fwd)[keep][order].astype(np.int64),
-            back_max=np.asarray(back)[keep][order].astype(np.int64),
+            pos=pos_k[order], match_pos=cand_k[order],
+            fwd_len=fwd_k[order], back_max=back_k[order],
         )
 
     def encode_bytes(self, src: bytes) -> bytes:

@@ -28,8 +28,12 @@ import jax.numpy as jnp
 
 from ..base import constants as C
 
-WINDOW = 64          # bytes compared per LCP round
-MAX_EXT_ROUNDS = 64  # while_loop safety valve (64 * 64 B = 4 KB per round set)
+WINDOW = 64      # bytes compared per LCP round
+EXT_ROUNDS = 8   # bounded extension rounds (lax.while_loop over the full
+                 # array faults the v5e runtime at >=512K elements; a fixed
+                 # fori_loop does not — see CLAUDE.md)
+DEV_LCP_MAX = WINDOW * (1 + EXT_ROUNDS)  # lens hitting this bound are
+                                         # re-extended exactly on host
 
 
 def _windows_fwd(src_pad: jnp.ndarray) -> jnp.ndarray:
@@ -53,12 +57,11 @@ def _first_mismatch(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def _extend(wf, pos, cand, lens, cap, direction: int):
-    """Extend LCPs that filled a whole window, via extra row-gather rounds."""
-    def cond(state):
-        lens, active = state
-        return active.any()
+    """Extend LCPs that filled a whole window, via extra row-gather rounds.
 
-    def body(state):
+    Bounded at EXT_ROUNDS; results hitting DEV_LCP_MAX are finished exactly
+    on the host (models/encoder.py)."""
+    def body(i, state):
         lens, active = state
         a = jnp.take(wf, jnp.where(active, pos + direction * lens, 0), axis=0)
         b = jnp.take(wf, jnp.where(active, cand + direction * lens, 0), axis=0)
@@ -68,7 +71,7 @@ def _extend(wf, pos, cand, lens, cap, direction: int):
         return lens, active
 
     active = (lens == WINDOW) & (lens < cap)
-    lens, _ = jax.lax.while_loop(cond, body, (lens, active))
+    lens, _ = jax.lax.fori_loop(0, EXT_ROUNDS, body, (lens, active))
     return lens
 
 

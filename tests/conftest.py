@@ -13,6 +13,16 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config knob
+# must land before first backend use (see CLAUDE.md). Tests run on the
+# virtual CPU mesh so they neither require nor contend for TPU hardware.
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 import pathlib
 
 import pytest

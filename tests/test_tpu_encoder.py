@@ -1,0 +1,49 @@
+"""TPU encoder pipeline on the portable XLA path (CPU backend in tests).
+
+find_matches_device is pure XLA (row gathers + argsort + bounded fori), so
+it runs anywhere; on-hardware byte-identity with the native encoder is
+verified by tools/test_tpu_encoder*.py.
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from lzfse_rust_tpu.spec import container as spec
+from lzfse_rust_tpu.spec.frontend import encode_bytes as spec_encode
+
+
+@pytest.fixture(scope="module")
+def encoder():
+    from lzfse_rust_tpu.models.encoder import TpuEncoder
+    return TpuEncoder()
+
+
+def test_byte_identical_to_spec_small(encoder):
+    rng = np.random.default_rng(21)
+    cases = [
+        b"\x00" * 4097,
+        bytes(rng.integers(0, 5, 20000, dtype=np.uint8)),
+        (b"the quick brown fox jumps " * 800),
+        bytes(rng.integers(0, 256, 8000, dtype=np.uint8)),
+    ]
+    for data in cases:
+        got = encoder.encode_bytes(data)
+        assert got == spec_encode(data), len(data)
+        assert spec.decode_bytes(got) == data
+
+
+def test_small_paths_delegate(encoder):
+    # <= VN_CUTOFF inputs route through the host LZVN/raw paths
+    for data in (b"", b"abc", b"\x00" * 21, b"xy" * 1000):
+        assert encoder.encode_bytes(data) == spec_encode(data)
+
+
+def test_corpus_file(encoder, snappy_dir):
+    raw = spec.decode_bytes(
+        (snappy_dir / "Mark.Twain-Tom.Sawyer.txt.lzfse").read_bytes())
+    got = encoder.encode_bytes(raw)
+    assert got == spec_encode(raw)
