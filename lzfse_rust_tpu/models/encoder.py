@@ -53,32 +53,41 @@ class TpuEncoder:
         assert n + 128 <= N
         src_pad = np.zeros(N, dtype=np.uint8)
         src_pad[:n] = np.frombuffer(chunk, dtype=np.uint8)
-        pos, cand, fwd, back, valid = find_matches_device(
+        pos, cands, lcps = find_matches_device(
             jnp.asarray(src_pad), jnp.int32(n), vn)
-        pos = np.asarray(pos)
-        valid = np.asarray(valid)
-        keep = valid
-        pos_k = pos[keep].astype(np.int64)
-        cand_k = np.asarray(cand)[keep].astype(np.int64)
-        fwd_k = np.asarray(fwd)[keep].astype(np.int64)
-        back_k = np.asarray(back)[keep].astype(np.int64)
-        # Host fix-up: device LCPs are bounded at DEV_LCP_MAX; finish the
-        # rare long runs exactly (spec/match_find galloping LCP).
-        from ..ops.match_find_tpu import DEV_LCP_MAX
-        from ..spec.match_find import _lcp_backward, _lcp_forward
+        pos = np.asarray(pos).astype(np.int64)
+        cands = np.asarray(cands).astype(np.int64)
+        lcps = np.asarray(lcps).astype(np.int64)
         src_arr = src_pad[:n]
-        long_f = np.flatnonzero((fwd_k >= DEV_LCP_MAX)
-                                & (pos_k + fwd_k < n))
-        if len(long_f):
-            fwd_k[long_f] = _lcp_forward(
-                src_arr, pos_k[long_f], cand_k[long_f], fwd_k[long_f],
-                (n - pos_k[long_f]).astype(np.int64))
-        long_b = np.flatnonzero((back_k >= DEV_LCP_MAX)
-                                & (back_k < np.minimum(cand_k, pos_k)))
-        if len(long_b):
-            back_k[long_b] = _lcp_backward(
-                src_arr, pos_k[long_b], cand_k[long_b],
-                np.minimum(cand_k, pos_k)[long_b])
+        from ..ops.match_find_tpu import WINDOW
+        from ..spec.match_find import _lcp_backward, _lcp_forward
+
+        # Finish window-saturated LCPs exactly, then arbitrate with the
+        # reference's FIFO strict-`>` rule over the 4 recency levels.
+        best_len = np.zeros(len(pos), np.int64)
+        best_cand = np.zeros(len(pos), np.int64)
+        for r in range(cands.shape[0]):
+            cand_r, lcp_r = cands[r], lcps[r]
+            sat = np.flatnonzero((lcp_r == WINDOW) & (cand_r >= 0)
+                                 & (pos + WINDOW < n))
+            if len(sat):
+                lcp_r[sat] = _lcp_forward(
+                    src_arr, pos[sat], cand_r[sat], lcp_r[sat],
+                    (n - pos[sat]).astype(np.int64))
+            if vn:
+                mlen = np.where(lcp_r >= 4, lcp_r,
+                                np.where(lcp_r == 3, 3, 0))
+            else:
+                mlen = np.where(lcp_r >= 4, lcp_r, 0)
+            mlen = np.where(cand_r >= 0, mlen, 0)
+            take = mlen > best_len
+            best_len[take] = mlen[take]
+            best_cand[take] = cand_r[take]
+
+        keep = best_len > 0
+        pos_k, cand_k, fwd_k = pos[keep], best_cand[keep], best_len[keep]
+        back_k = _lcp_backward(src_arr, pos_k, cand_k,
+                               np.minimum(cand_k, pos_k))
         order = np.argsort(pos_k, kind="stable")
         return MatchStream(
             pos=pos_k[order], match_pos=cand_k[order],
@@ -97,15 +106,28 @@ class TpuEncoder:
                 out.append(body)
                 continue
             stream = self._device_matches(chunk, vn=False)
-            matches = FE.select_matches(stream, len(chunk))
-            arr = np.frombuffer(chunk, dtype=np.uint8)
-            blocks: list[bytes] = []
-
-            def emit_block(literals, lmds, n_raw):
-                from ..spec import fse as F
-                blocks.append(F.encode_block(literals, lmds, n_raw))
-
-            buf = FE.FseBuffer(arr, emit_block)
-            FE.emit_lmd_stream(arr, matches, buf)
-            out.append(b"".join(blocks))
+            out.append(self._select_emit(chunk, stream))
         return b"".join(out) + C.MAGIC_EOS.to_bytes(4, "little")
+
+    def _select_emit(self, chunk: bytes, stream: MatchStream) -> bytes:
+        """Selection scan + block emission (native fast path, spec fallback).
+        Both preserve the reference semantics exactly."""
+        try:
+            from ..runtime import native
+            if native.available():
+                rows = np.stack([stream.pos, stream.match_pos,
+                                 stream.fwd_len, stream.back_max], axis=1)
+                return native.select_emit_fse(chunk, rows)
+        except Exception:
+            pass
+        matches = FE.select_matches(stream, len(chunk))
+        arr = np.frombuffer(chunk, dtype=np.uint8)
+        blocks: list[bytes] = []
+
+        def emit_block(literals, lmds, n_raw):
+            from ..spec import fse as F
+            blocks.append(F.encode_block(literals, lmds, n_raw))
+
+        buf = FE.FseBuffer(arr, emit_block)
+        FE.emit_lmd_stream(arr, matches, buf)
+        return b"".join(blocks)

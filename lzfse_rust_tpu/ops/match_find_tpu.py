@@ -14,9 +14,11 @@ input. On device:
      argmax; rare >64-byte runs extend in a while_loop
   4. FIFO-order strict-max arbitration (frontend_bytes.rs:226-229)
 
-Output: per probed position the winning (match_pos, fwd_len, back_max), in
-bucket-sorted order. The cheap sequential greedy/lazy selection runs on host
-(spec/frontend.py select_matches).
+Output: per probed position its 4 recency-ordered candidates with
+first-window LCPs, in bucket-sorted order. The host extends the rare
+window-saturated rows exactly, arbitrates (FIFO strict-max), computes the
+winners' backward extension, and runs the cheap sequential greedy/lazy
+selection (spec/frontend.py).
 """
 
 from __future__ import annotations
@@ -28,25 +30,22 @@ import jax.numpy as jnp
 
 from ..base import constants as C
 
-WINDOW = 64      # bytes compared per LCP round
-EXT_ROUNDS = 8   # bounded extension rounds (lax.while_loop over the full
-                 # array faults the v5e runtime at >=512K elements; a fixed
-                 # fori_loop does not — see CLAUDE.md)
-DEV_LCP_MAX = WINDOW * (1 + EXT_ROUNDS)  # lens hitting this bound are
-                                         # re-extended exactly on host
+WINDOW = 64  # bytes compared per device LCP; longer runs extend on host.
+             # In-device extension loops were tried and rejected: the
+             # static-shape gathers re-touch all N rows for a handful of
+             # active ones (~40x the whole kernel's cost), and
+             # lax.while_loop over >=512K elements faults the v5e runtime
+             # (see CLAUDE.md).
 
 
 def _windows_fwd(src_pad: jnp.ndarray) -> jnp.ndarray:
-    """(N,) uint8 -> (N, WINDOW) forward byte windows (materialized shifts)."""
-    n = src_pad.shape[0]
+    """(N,) uint8 -> (N, WINDOW) forward byte windows (materialized shifts).
+
+    The optimization barrier forces materialization: otherwise XLA fuses the
+    roll-stack into every row gather, scalarizing them (~1000x slower).
+    """
     cols = [jnp.roll(src_pad, -k) for k in range(WINDOW)]
-    return jnp.stack(cols, axis=1)
-
-
-def _windows_bwd(src_pad: jnp.ndarray) -> jnp.ndarray:
-    """(N, WINDOW) backward windows: row i holds src[i-1], src[i-2], ..."""
-    cols = [jnp.roll(src_pad, k + 1) for k in range(WINDOW)]
-    return jnp.stack(cols, axis=1)
+    return jax.lax.optimization_barrier(jnp.stack(cols, axis=1))
 
 
 def _first_mismatch(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -56,32 +55,16 @@ def _first_mismatch(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
                      jnp.int32(WINDOW))
 
 
-def _extend(wf, pos, cand, lens, cap, direction: int):
-    """Extend LCPs that filled a whole window, via extra row-gather rounds.
-
-    Bounded at EXT_ROUNDS; results hitting DEV_LCP_MAX are finished exactly
-    on the host (models/encoder.py)."""
-    def body(i, state):
-        lens, active = state
-        a = jnp.take(wf, jnp.where(active, pos + direction * lens, 0), axis=0)
-        b = jnp.take(wf, jnp.where(active, cand + direction * lens, 0), axis=0)
-        step = _first_mismatch(a, b)
-        lens = jnp.where(active, jnp.minimum(lens + step, cap), lens)
-        active = active & (step == WINDOW) & (lens < cap)
-        return lens, active
-
-    active = (lens == WINDOW) & (lens < cap)
-    lens, _ = jax.lax.fori_loop(0, EXT_ROUNDS, body, (lens, active))
-    return lens
-
-
 @functools.partial(jax.jit, static_argnames=("vn",))
 def find_matches_device(src_pad: jnp.ndarray, n_real: jnp.ndarray, vn: bool):
-    """Match pipeline over one (padded) window of input.
+    """Candidate + first-window-LCP pipeline over one padded input window.
 
     src_pad: (N,) uint8, zero-padded past n_real (N static, bucketable).
-    Returns sorted-order arrays (pos, cand, fwd_len, back_max, valid), each
-    (N,): `valid` marks real probed positions with a usable candidate match.
+    Returns (pos (N,), cands (HASH_WIDTH, N), lcps (HASH_WIDTH, N)) in
+    bucket-sorted order: cands[r-1] is the r-th most recent same-bucket
+    predecessor (or -1), lcps capped at min(WINDOW, block end). The host
+    arbitrates (extending the rare WINDOW-saturated rows exactly first) and
+    computes backward extension for the winners.
     """
     N = src_pad.shape[0]
     s = src_pad.astype(jnp.uint32)
@@ -101,13 +84,12 @@ def find_matches_device(src_pad: jnp.ndarray, n_real: jnp.ndarray, vn: bool):
     pos = order  # position of sorted slot
 
     max_d = C.VN_MAX_D_VALUE if vn else C.MAX_D_VALUE
-    best_len = jnp.zeros(N, dtype=jnp.int32)
-    best_cand = jnp.zeros(N, dtype=jnp.int32)
     wf = _windows_fwd(src_pad)
-    wb = _windows_bwd(src_pad)
     cap = n_real - pos  # LCP bound: block end (frontend_bytes.rs:253 `max`)
 
     a = jnp.take(wf, pos, axis=0)
+    cands = []
+    lcps = []
     for r in range(1, C.HASH_WIDTH + 1):
         cand = jnp.roll(order, r)
         same = jnp.roll(b_sorted, r) == b_sorted
@@ -115,30 +97,8 @@ def find_matches_device(src_pad: jnp.ndarray, n_real: jnp.ndarray, vn: bool):
         ok = same & ((pos - cand) <= max_d) & (cand < pos)
         safe_cand = jnp.where(ok, cand, 0)
         b = jnp.take(wf, safe_cand, axis=0)
-        lcp = jnp.minimum(_first_mismatch(a, b), cap)
-        lcp = _extend(wf, pos, safe_cand, lcp, cap, 1)
-        # match unit: FSE needs >=4; LZVN accepts ==3 (3-byte unit) but only
-        # extends when the full u32 matched (vn/object.rs:50-59,
-        # frontend_bytes.rs:247-258)
-        if vn:
-            mlen = jnp.where(lcp >= 4, lcp, jnp.where(lcp == 3, 3, 0))
-        else:
-            mlen = jnp.where(lcp >= 4, lcp, 0)
-        mlen = jnp.where(ok, mlen, 0)
-        # FIFO-order strict `>` (recency wins ties): r ascends, so a plain
-        # greater-than replicates frontend_bytes.rs:226-229
-        take_it = mlen > best_len
-        best_len = jnp.where(take_it, mlen, best_len)
-        best_cand = jnp.where(take_it, safe_cand, best_cand)
-
-    valid = best_len > 0
-    fwd_len = best_len
-    # backward extension capped by match_index only; the emission-time
-    # literal cap is applied by the host selection scan
-    bcap = jnp.where(valid, jnp.minimum(best_cand, pos), 0)
-    a = jnp.take(wb, jnp.where(valid, pos, 0), axis=0)
-    b = jnp.take(wb, jnp.where(valid, best_cand, 0), axis=0)
-    back = jnp.minimum(_first_mismatch(a, b), bcap)
-    back = _extend(wb, pos, best_cand, back, bcap, -1)
-    back = jnp.where(valid, back, 0)
-    return pos, best_cand, fwd_len, back, valid
+        lcp = jnp.clip(_first_mismatch(a, b), 0, cap)
+        lcp = jnp.where(ok, lcp, 0)
+        cands.append(jnp.where(ok, cand, -1))
+        lcps.append(lcp)
+    return pos, jnp.stack(cands), jnp.stack(lcps)

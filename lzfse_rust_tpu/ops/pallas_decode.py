@@ -247,7 +247,7 @@ def _lmd_kernel(v_tab_ref, v_base_ref, win_ref, s_init_ref, pos_ref, num_ref,
     fpos_ref[:, :] = pos
 
 
-R_ROWS = 32  # blocks per grid step; loop overhead amortizes ~linearly in R
+R_ROWS = 64  # blocks per grid step; loop overhead amortizes ~linearly in R
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps",))

@@ -41,6 +41,10 @@ def _configure(lib) -> None:
     lib.tl_encode.restype = ctypes.c_longlong
     lib.tl_encode.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                               ctypes.c_char_p, ctypes.c_size_t]
+    lib.tl_select_emit_fse.restype = ctypes.c_longlong
+    lib.tl_select_emit_fse.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t]
 
 
 def decode_bytes(src: bytes) -> bytes:
@@ -66,4 +70,22 @@ def encode_bytes(src: bytes) -> bytes:
     n = lib.tl_encode(src, len(src), out, bound)
     if n < 0:
         raise LzfseError(f"encode failed: {n}")
+    return out.raw[:n]
+
+
+def select_emit_fse(src: bytes, stream_rows) -> bytes:
+    """Selection + FSE block emission from (pos, match_pos, fwd_len,
+    back_max) int64 rows sorted by pos. Returns the window's block body."""
+    import ctypes
+    import numpy as np
+    from ..base.errors import LzfseError
+    lib = _lib()
+    rows = np.ascontiguousarray(stream_rows, dtype=np.int64)
+    cap = len(src) + len(src) // 2 + 8192
+    out = ctypes.create_string_buffer(cap)
+    n = lib.tl_select_emit_fse(
+        src, len(src), rows.ctypes.data_as(ctypes.c_void_p), rows.shape[0],
+        out, cap)
+    if n < 0:
+        raise LzfseError(f"select_emit failed: {n}")
     return out.raw[:n]

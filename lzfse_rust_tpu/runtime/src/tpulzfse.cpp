@@ -1018,4 +1018,64 @@ long long tl_encode(const char* src, size_t n, char* dst, size_t cap) {
   return encode_container((const uint8_t*)src, n, (uint8_t*)dst, cap);
 }
 
+// Greedy/lazy selection + FSE block emission from a precomputed match
+// stream (the TPU encoder's host epilogue). `stream` is n_matches rows of
+// int64 (pos, match_pos, fwd_len, back_max) sorted by pos; emits the Vx2
+// block body for this window (no container EOS).
+long long tl_select_emit_fse(const char* src_c, size_t n,
+                             const long long* stream, size_t n_matches,
+                             char* dst, size_t cap) {
+  const uint8_t* src = (const uint8_t*)src_c;
+  std::vector<uint8_t> out;
+  out.reserve(n / 2 + 4096);
+  FseBackend* fb = new FseBackend();
+  fb->out = &out;
+
+  // Match::select scan (match_object.rs:12-33 + the hot-loop skip logic)
+  size_t literal_index = 0;
+  size_t limit = n >= 3 ? n - 3 : 0;
+  size_t min_index = 0;
+  struct M { size_t idx, midx; uint32_t len; } pending{0, 0, 0};
+  struct Sel { size_t idx, midx; uint32_t len; };
+  std::vector<Sel> sel;
+  sel.reserve(n_matches / 2 + 1);
+  bool done = false;
+  for (size_t i = 0; i < n_matches && !done; i++) {
+    size_t p = (size_t)stream[i * 4];
+    if (p < min_index) continue;
+    long long back_max = stream[i * 4 + 3];
+    long long lit_cap = (long long)(p - literal_index);
+    long long ext = back_max < lit_cap ? back_max : lit_cap;
+    size_t idx = p - (size_t)ext;
+    size_t midx = (size_t)stream[i * 4 + 1] - (size_t)ext;
+    uint32_t len = (uint32_t)(stream[i * 4 + 2] + ext);
+
+    M inc{idx, midx, len};
+    M emit{0, 0, 0};
+    if (inc.len >= GOOD_MATCH) { emit = inc; pending.len = 0; }
+    else if (pending.len == 0) { pending = inc; continue; }
+    else if (pending.idx + pending.len <= inc.idx) { emit = pending; pending = inc; }
+    else if (inc.len > pending.len) { emit = inc; pending.len = 0; }
+    else { emit = pending; pending.len = 0; }
+
+    sel.push_back({emit.idx, emit.midx, emit.len});
+    literal_index = emit.idx + emit.len;
+    if (literal_index >= limit) { pending.len = 0; done = true; break; }
+    min_index = p + 1 > literal_index ? p + 1 : literal_index;
+  }
+  if (pending.len) sel.push_back({pending.idx, pending.midx, pending.len});
+
+  size_t li = 0;
+  for (const Sel& s2 : sel) {
+    fb->push_match(src + li, s2.idx - li, s2.len, (uint32_t)(s2.idx - s2.midx));
+    li = s2.idx + s2.len;
+  }
+  if (li < n) fb->push_literals(src + li, n - li);
+  fb->finalize();
+  delete fb;
+  if (out.size() > cap) return -E_CAP;
+  memcpy(dst, out.data(), out.size());
+  return (long long)out.size();
+}
+
 }  // extern "C"
