@@ -112,7 +112,7 @@ def bench_tpu_entropy_decode():
             vp, vb, up = build_decode_tables(Wd + r - r)
             lits, lfs, _ = decode_literals_pallas(up, LW, LS, LP + r - r,
                                                   LN, 10000)
-            lm, dd, mfs, _ = decode_lmds_pallas(vp, vb, MW, MS, MP + r - r,
+            lm, dd, mfs, _ = decode_lmds_pallas(vp, MW, MS, MP + r - r,
                                                 MN, 10000)
             return acc + jnp.sum(lfs) + jnp.sum(mfs) + lits[0, 0] + lm[0, 0]
         return jax.lax.fori_loop(0, n_rep, body, jnp.int32(0))

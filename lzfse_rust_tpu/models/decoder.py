@@ -255,7 +255,7 @@ class TpuDecoder:
                     bcast(lit_pos), bcast(lit_num),
                     C.LITERALS_PER_BLOCK // 4)
                 lm_pk, d_pk, lmd_fs128, lmd_fp128 = decode_lmds_pallas(
-                    v_packed, v_base, jnp.asarray(lmd_words),
+                    v_packed, jnp.asarray(lmd_words),
                     vec(lmd_states), bcast(lmd_pos), bcast(lmd_num),
                     C.LMDS_PER_BLOCK)
                 literals, lmds = _unpack_fn()(lit_pk, lm_pk, d_pk)

@@ -12,8 +12,11 @@ is a single gather, and (b) the carry is a flat tuple of (B,) vectors. With
 stacked (B, 4) carries and 3-field table gathers the loop body de-fuses and
 runs ~1000x slower. Packed entry layouts:
 
-  U entry:  k | sym << 4 | delta << 12          (k<=10, sym<256, delta<1024)
-  V entry:  k | v_bits << 4 | delta << 8        (delta < 384)   + v_base array
+  U entry:  k | sym << 4 | delta << 12              (k<=10, sym<256, delta<1024)
+  V entry:  k | v_bits << 4 | delta << 8 | hi << 17 (delta < 384; hi = value
+            base for L/M lanes, D symbol index for the D lane; the separate
+            v_base array remains the straightforward source in this portable
+            path)
 
 Bitstream model: absolute bit position over the payload (see spec/bits.py).
 Payloads are pre-expanded to overlapping 4-byte little-endian windows so each
@@ -99,7 +102,7 @@ def decode_lmds_batch(v_packed: jnp.ndarray, v_base: jnp.ndarray,
         base = jnp.take_along_axis(v_base, s[:, None], axis=1)[:, 0]
         k = e & 15
         nb = (e >> 4) & 15
-        delta = e >> 8
+        delta = (e >> 8) & 0x1FF  # bits 17+ carry the packed value base
         sbits, pos1 = _pull(windows, pos, k)
         vbits, pos2 = _pull(windows, pos1, nb)
         s_new = jnp.where(active, sbits + delta, s)

@@ -180,10 +180,11 @@ def _neg_roll(x, shift):
     return pltpu.roll(x, 128 - shift, 1)
 
 
-def _lmd_kernel(v_tab_ref, v_base_ref, win_ref, s_init_ref, pos_ref, num_ref,
+def _lmd_kernel(v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref, num_ref,
                 out_lm_ref, out_d_ref, fs_ref, fpos_ref,
                 chunk_ref, pos_s_ref, *, r_rows, n_steps, w_words):
     lane = jax.lax.broadcasted_iota(jnp.int32, (r_rows, 128), 1)
+    d_base_row = d_base_ref[:, :]  # (R, 128): lanes 0..63 = D_BASE_VALUE
     states0 = s_init_ref[:, :]
     pos0 = pos_ref[:, :]
     num = num_ref[:, :]
@@ -206,18 +207,29 @@ def _lmd_kernel(v_tab_ref, v_base_ref, win_ref, s_init_ref, pos_ref, num_ref,
                 gstep = se * SUPER + j
                 active = gstep < num
                 ent = _lookup(v_tab_ref, s, 3)
-                base = _lookup(v_base_ref, s, 3)
                 k = jnp.where(lane < 3, ent & 15, 0)
                 nb = jnp.where(lane < 3, (ent >> 4) & 15, 0)
-                delta = ent >> 8
-                # stream order per lane i: pull k_i then nb_i, lanes 0,1,2
+                delta = (ent >> 8) & 0x1FF
+                # value base: packed inline for the L/M lanes; the D lane
+                # packs the D symbol, resolved via the shared 64-entry table
+                hi = (ent >> 17) & 0x7FFF
+                d_b = jnp.take_along_axis(d_base_row, hi & 63, axis=1)
+                base = jnp.where(lane == 2, d_b, hi)
+                # stream order per lane i: pull k_i then nb_i, lanes 0,1,2.
+                # The pulls are bit-adjacent ([extra][state] upward), so one
+                # (k+nb)-bit extract serves both (k+nb <= 23 fits a funnel).
                 knb = k + nb
                 # exclusive prefix: pre_i = sum_{j<i} knb_j
                 pre = _masked_roll(knb, 1) + _masked_roll(knb, 2)
                 p_state = pos - pre - k
                 p_extra = p_state - nb
-                sbits = _extract(chunk, base_vec, p_state, k)
-                vbits = _extract(chunk, base_vec, p_extra, nb)
+                both = _extract(chunk, base_vec, p_extra, knb)
+                nbu = nb.astype(jnp.uint32)
+                vbits = (both.astype(jnp.uint32)
+                         & ((jnp.uint32(1) << nbu) - 1)).astype(jnp.int32)
+                sbits = jnp.where(
+                    p_state < 0, 0,
+                    (both.astype(jnp.uint32) >> nbu).astype(jnp.int32))
                 value = base + vbits
                 new_s = jnp.where(active, sbits + delta, s)
                 new_pos = jnp.where(
@@ -303,15 +315,24 @@ def decode_literals_pallas(u_tab, win_words, init_states, init_pos, num,
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps",))
-def decode_lmds_pallas(v_tab, v_base, win_words, init_states, init_pos, num,
+def decode_lmds_pallas(v_tab, win_words, init_states, init_pos, num,
                        n_steps: int):
     """Batched 3-lane LMD decode. Shapes as decode_literals_pallas; v tables
-    are (B, 384). Returns (lm_packed (B, n_steps) int32 = l | m << 16,
-    d (B, n_steps) int32, final_states, final_pos)."""
+    are (B, 384) packed entries (value bases inline; the D lane resolves its
+    base through a broadcast 64-entry table). Returns (lm_packed (B,
+    n_steps) int32 = l | m << 16, d (B, n_steps) int32, final_states,
+    final_pos)."""
+    import numpy as _np
+
+    from ..base import constants as _C
+
     B, W = win_words.shape
     assert B % R_ROWS == 0
     grid = (B // R_ROWS,)
     n_out = (n_steps + SUPER - 1) // SUPER * SUPER
+    d_base_host = _np.zeros((B, 128), _np.int32)
+    d_base_host[:, :_C.D_SYMBOLS] = _C.D_BASE_VALUE
+    d_base = jnp.asarray(d_base_host)
     kernel = functools.partial(_lmd_kernel, r_rows=R_ROWS, n_steps=n_steps,
                                w_words=W)
     return pl.pallas_call(
@@ -320,7 +341,7 @@ def decode_lmds_pallas(v_tab, v_base, win_words, init_states, init_pos, num,
         in_specs=[
             pl.BlockSpec((R_ROWS, 384), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_ROWS, 384), lambda g: (g, 0),
+            pl.BlockSpec((R_ROWS, 128), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R_ROWS, W), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
@@ -351,4 +372,4 @@ def decode_lmds_pallas(v_tab, v_base, win_words, init_states, init_pos, num,
             pltpu.VMEM((R_ROWS, 256), jnp.int32),
             pltpu.VMEM((R_ROWS, 128), jnp.int32),
         ],
-    )(v_tab, v_base, win_words, init_states, init_pos, num)
+    )(v_tab, d_base, win_words, init_states, init_pos, num)

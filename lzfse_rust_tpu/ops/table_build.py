@@ -97,7 +97,20 @@ def build_decode_tables(weights: jnp.ndarray):
     v_base = jnp.concatenate([lbase, mbase, dbase], axis=1)
     v_delta = jnp.concatenate([ldelta, mdelta, ddelta], axis=1)
     # Packed single-int32 entries — one gather per table lookup keeps the
-    # decode scan body fusable (see ops/fse_decode.py docstring).
-    v_packed = v_k | (v_bits << 4) | (v_delta << 8)
+    # decode scan body fusable (see ops/fse_decode.py docstring) and is the
+    # dominant per-step cost in the pallas kernels.
+    #
+    # V entries additionally carry the value base in bits 17..31: L/M bases
+    # fit directly (<= 312); the D lane stores the D symbol index instead
+    # (6 bits) and the kernel resolves the 64-entry shared base table with
+    # one extra within-tile gather (pallas) / take (XLA).
+    d_sym_of_state = jnp.argmin(
+        jnp.where(jnp.asarray(C.D_BASE_VALUE)[None, None, :]
+                  == dbase[:, :, None], 
+                  jax.lax.broadcasted_iota(jnp.int32, (1, 1, C.D_SYMBOLS), 2),
+                  jnp.int32(C.D_SYMBOLS)), axis=2).astype(jnp.int32)
+    lm_base = jnp.concatenate([lbase, mbase], axis=1)
+    v_hi = jnp.concatenate([lm_base, d_sym_of_state], axis=1)
+    v_packed = v_k | (v_bits << 4) | (v_delta << 8) | (v_hi << 17)
     u_packed = uk | (usym << 4) | (udelta << 12)
     return v_packed, v_base, u_packed

@@ -45,7 +45,7 @@ def pipe(Wd, LW, MW, LS, MS, LP, MP, LN, MN, n_rep):
     def body(r, acc):
         vp, vb, up = build_decode_tables(Wd + r - r)
         lits, lfs, lfp = decode_literals_pallas(up, LW, LS, LP + r - r, LN, 10000)
-        lm, dd, mfs, mfp = decode_lmds_pallas(vp, vb, MW, MS, MP + r - r, MN, 10000)
+        lm, dd, mfs, mfp = decode_lmds_pallas(vp, MW, MS, MP + r - r, MN, 10000)
         return acc + jnp.sum(lfs) + jnp.sum(mfs) + lits[0,0] + lm[0,0] + dd[0,0]
     return jax.lax.fori_loop(0, n_rep, body, jnp.int32(0))
 
