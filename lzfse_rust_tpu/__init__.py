@@ -23,7 +23,7 @@ Engines select the best available backend automatically:
 
 from .api import (LzfseDecoder, LzfseEncoder, LzfseReader, LzfseReaderBytes,
                   LzfseRingDecoder, LzfseRingEncoder, LzfseWriter,
-                  decode_bytes, encode_bytes, probe)
+                  decode_bytes, decode_many, encode_bytes, encode_many, probe)
 from .base.errors import (BadBitStream, BadBlock, DecodeError, FseError,
                           LzfseError, PayloadOverflow, PayloadUnderflow,
                           VnError)
@@ -49,7 +49,7 @@ class LzfseWriterBytes(LzfseWriter):
 __version__ = "0.1.0"
 
 __all__ = [
-    "encode_bytes", "decode_bytes", "probe",
+    "encode_bytes", "decode_bytes", "encode_many", "decode_many", "probe",
     "LzfseEncoder", "LzfseDecoder", "LzfseRingEncoder", "LzfseRingDecoder",
     "LzfseWriter", "LzfseReader", "LzfseReaderBytes", "LzfseWriterBytes",
     "LzfseError", "DecodeError", "BadBlock", "BadBitStream",

@@ -51,6 +51,34 @@ def decode_bytes(src: bytes) -> bytes:
     return _spec_container.decode_bytes(src)
 
 
+def decode_many(sources, max_workers: int | None = None) -> list[bytes]:
+    """Decode a batch of independent containers in parallel on the host.
+
+    The native runtime releases the GIL during calls, so a thread pool
+    scales across cores; results are byte-identical to sequential decodes.
+    (For accelerator-batched decode use models.decoder.TpuDecoder.)
+    """
+    from concurrent.futures import ThreadPoolExecutor
+    sources = list(sources)
+    if len(sources) <= 1 or _native() is None:
+        return [decode_bytes(s) for s in sources]
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return list(pool.map(decode_bytes, sources))
+
+
+def encode_many(sources, max_workers: int | None = None) -> list[bytes]:
+    """Encode a batch of independent buffers in parallel on the host.
+
+    Each output is byte-identical to its sequential encode_bytes result.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+    sources = list(sources)
+    if len(sources) <= 1 or _native() is None:
+        return [encode_bytes(s) for s in sources]
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return list(pool.map(encode_bytes, sources))
+
+
 def probe(src: bytes) -> tuple[int, int]:
     """Return (n_payload_bytes, n_raw_bytes) without decompressing
     (reference: src/decode/probe.rs:11-35)."""

@@ -49,28 +49,34 @@ def _configure(lib) -> None:
 
 def decode_bytes(src: bytes) -> bytes:
     import ctypes
+    import numpy as np
     from ..base.errors import DecodeError
     lib = _lib()
     bound = lib.tl_decode_bound(src, len(src))
     if bound < 0:
         raise DecodeError(f"probe failed: {bound}")
-    out = ctypes.create_string_buffer(max(int(bound), 1))
-    n = lib.tl_decode(src, len(src), out, bound)
+    # np.empty avoids the zero-fill of create_string_buffer — that memset
+    # runs under the GIL and throttles thread-pooled batch decodes
+    out = np.empty(max(int(bound), 1), dtype=np.uint8)
+    n = lib.tl_decode(src, len(src),
+                      out.ctypes.data_as(ctypes.c_char_p), int(bound))
     if n < 0:
         raise DecodeError(f"decode failed: {n}")
-    return out.raw[:n]
+    return out[:n].tobytes()
 
 
 def encode_bytes(src: bytes) -> bytes:
     import ctypes
+    import numpy as np
     from ..base.errors import LzfseError
     lib = _lib()
-    bound = lib.tl_encode_bound(len(src))
-    out = ctypes.create_string_buffer(int(bound))
-    n = lib.tl_encode(src, len(src), out, bound)
+    bound = int(lib.tl_encode_bound(len(src)))
+    out = np.empty(bound, dtype=np.uint8)
+    n = lib.tl_encode(src, len(src),
+                      out.ctypes.data_as(ctypes.c_char_p), bound)
     if n < 0:
         raise LzfseError(f"encode failed: {n}")
-    return out.raw[:n]
+    return out[:n].tobytes()
 
 
 def select_emit_fse(src: bytes, stream_rows) -> bytes:
