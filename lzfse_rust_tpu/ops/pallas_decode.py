@@ -117,6 +117,12 @@ def _lane0_bcast(x, lane):
     return jnp.sum(jnp.where(lane == 0, x, 0), axis=1, keepdims=True)
 
 
+def _flip_lanes(x):
+    """Reverse the 128 lanes of each row (one within-tile gather)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.take_along_axis(x, 127 - lane, axis=1)
+
+
 def _literal_kernel(u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
                     out_ref, fs_ref, fpos_ref,
                     chunk_ref, pos_s_ref, *, r_rows, n_steps, w_words):
@@ -156,17 +162,21 @@ def _literal_kernel(u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
                     jnp.min(jnp.where(lane < 4, p_lane, jnp.int32(2**30)),
                             axis=1, keepdims=True) + jnp.zeros_like(pos),
                     pos)
-                # pack 4 symbols into one int32 word; park it at output lane j
+                # pack 4 symbols into one int32 word (valid at lane 0) and
+                # shift it into the rolling accumulator; the store flips the
+                # lane order once per superepoch — cheaper than a per-step
+                # lane-broadcast reduce
                 packed = (sym + (_neg_roll(sym, 1) << 8)
                           + (_neg_roll(sym, 2) << 16)
                           + (_neg_roll(sym, 3) << 24))
-                acc = jnp.where(lane == j, _lane0_bcast(packed, lane), acc)
+                acc = jnp.where(lane == 0, packed, pltpu.roll(acc, 1, 1))
                 return (new_s, new_pos, acc)
 
             return jax.lax.fori_loop(0, EPOCH, step, (s, pos, acc))
 
         s, pos, acc = jax.lax.fori_loop(0, SUPER // EPOCH, half, (s, pos, acc))
-        out_ref[:, pl.ds(pl.multiple_of(se * SUPER, SUPER), SUPER)] = acc
+        out_ref[:, pl.ds(pl.multiple_of(se * SUPER, SUPER), SUPER)] = \
+            _flip_lanes(acc)
         return (s, pos)
 
     n_super = (n_steps + SUPER - 1) // SUPER
@@ -240,8 +250,8 @@ def _lmd_kernel(v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref, num_ref,
                 value = jnp.where(active, value, 0)
                 lm = value + (_neg_roll(value, 1) << 16)   # l | m << 16
                 d_v = _neg_roll(value, 2)
-                acc_lm = jnp.where(lane == j, _lane0_bcast(lm, lane), acc_lm)
-                acc_d = jnp.where(lane == j, _lane0_bcast(d_v, lane), acc_d)
+                acc_lm = jnp.where(lane == 0, lm, pltpu.roll(acc_lm, 1, 1))
+                acc_d = jnp.where(lane == 0, d_v, pltpu.roll(acc_d, 1, 1))
                 return (new_s, new_pos, acc_lm, acc_d)
 
             return jax.lax.fori_loop(0, EPOCH, step, (s, pos, acc_lm, acc_d))
@@ -249,8 +259,8 @@ def _lmd_kernel(v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref, num_ref,
         s, pos, acc_lm, acc_d = jax.lax.fori_loop(
             0, SUPER // EPOCH, half, (s, pos, acc_lm, acc_d))
         off = pl.multiple_of(se * SUPER, SUPER)
-        out_lm_ref[:, pl.ds(off, SUPER)] = acc_lm
-        out_d_ref[:, pl.ds(off, SUPER)] = acc_d
+        out_lm_ref[:, pl.ds(off, SUPER)] = _flip_lanes(acc_lm)
+        out_d_ref[:, pl.ds(off, SUPER)] = _flip_lanes(acc_d)
         return (s, pos)
 
     n_super = (n_steps + SUPER - 1) // SUPER
