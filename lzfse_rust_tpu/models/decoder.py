@@ -177,13 +177,21 @@ class TpuDecoder:
     interpret-mode debugging).
     """
 
-    def __init__(self, use_pallas: bool | None = None):
+    def __init__(self, use_pallas: bool | None = None,
+                 use_native_rebuild: bool | None = None):
         import jax
         import jax.numpy as jnp  # deferred so pure-spec users never pay
         self._jnp = jnp
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
+        if use_native_rebuild is None:
+            try:
+                from ..runtime import native
+                use_native_rebuild = native.available()
+            except Exception:
+                use_native_rebuild = False
+        self.use_native_rebuild = use_native_rebuild
 
     def decode_many(self, sources: list[bytes]) -> list[bytes]:
         """Decode a batch of containers, block-parallel across all of them."""
@@ -330,6 +338,20 @@ class TpuDecoder:
                     else np.zeros((0, 3), dtype=np.int32))
             lits = (np.concatenate(lit_list) if lit_list
                     else np.zeros(0, dtype=np.uint8))
+            if self.use_native_rebuild:
+                # hybrid path: entropy decode came from the device, the
+                # memory-bound copy-back runs in the native engine
+                try:
+                    from ..runtime import native
+                    out = native.rebuild(rows, lits.tobytes(), pc.n_raw)
+                    if len(out) == pc.n_raw:
+                        results[ci] = out
+                    else:
+                        results[ci] = spec_container.decode_bytes(sources[ci])
+                    continue
+                except Exception:
+                    results[ci] = spec_container.decode_bytes(sources[ci])
+                    continue
             conts.append((ci, rows, lits))
 
         if conts:

@@ -45,6 +45,10 @@ def _configure(lib) -> None:
     lib.tl_select_emit_fse.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
         ctypes.c_char_p, ctypes.c_size_t]
+    lib.tl_rebuild.restype = ctypes.c_longlong
+    lib.tl_rebuild.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t]
 
 
 def decode_bytes(src: bytes) -> bytes:
@@ -95,3 +99,19 @@ def select_emit_fse(src: bytes, stream_rows) -> bytes:
     if n < 0:
         raise LzfseError(f"select_emit failed: {n}")
     return out.raw[:n]
+
+
+def rebuild(rows, literals: bytes, n_out: int) -> bytes:
+    """LZ reconstruction from (l, m, d) int32 rows + a literal pool."""
+    import ctypes
+    import numpy as np
+    from ..base.errors import DecodeError
+    lib = _lib()
+    r = np.ascontiguousarray(rows, dtype=np.int32)
+    out = np.empty(max(n_out, 1), dtype=np.uint8)
+    n = lib.tl_rebuild(r.ctypes.data_as(ctypes.c_void_p), r.shape[0],
+                       literals, len(literals),
+                       out.ctypes.data_as(ctypes.c_char_p), n_out)
+    if n < 0:
+        raise DecodeError(f"rebuild failed: {n}")
+    return out[:n].tobytes()

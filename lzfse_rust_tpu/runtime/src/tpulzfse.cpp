@@ -1078,4 +1078,30 @@ long long tl_select_emit_fse(const char* src_c, size_t n,
   return (long long)out.size();
 }
 
+// LZ77 reconstruction from a flattened (l, m, d) row stream + literal pool
+// (the host half of the hybrid TPU decode: entropy on device, copy-back
+// here). Rows are int32 triples; returns bytes written or -errcode.
+long long tl_rebuild(const int* rows, size_t n_rows, const char* lits_c,
+                     size_t n_lits, char* dst, size_t cap) {
+  Sink sink{(uint8_t*)dst, cap};
+  const uint8_t* lits = (const uint8_t*)lits_c;
+  size_t li = 0;
+  for (size_t i = 0; i < n_rows; i++) {
+    uint32_t l = (uint32_t)rows[i * 3];
+    uint32_t m = (uint32_t)rows[i * 3 + 1];
+    uint32_t d = (uint32_t)rows[i * 3 + 2];
+    if (l) {
+      if (li + l > n_lits) return -E_FSE;
+      int rc = sink.write(lits + li, l);
+      if (rc) return rc;
+      li += l;
+    }
+    if (m) {
+      int rc = sink.write_match(m, d);
+      if (rc) return rc;
+    }
+  }
+  return (long long)sink.len;
+}
+
 }  // extern "C"

@@ -10,10 +10,11 @@ import pytest
 jax = pytest.importorskip("jax")
 
 
-@pytest.fixture(scope="module")
-def decoder():
+@pytest.fixture(scope="module", params=["native-rebuild", "device-rebuild"])
+def decoder(request):
     from lzfse_rust_tpu.models.decoder import TpuDecoder
-    return TpuDecoder(use_pallas=False)
+    return TpuDecoder(use_pallas=False,
+                      use_native_rebuild=request.param == "native-rebuild")
 
 
 def check(decoder, path):
