@@ -114,3 +114,12 @@ def test_api_shapes(tmp_path):
             break
         got += chunk
     assert bytes(got) == data
+    # owned-buffer adapters + parallel batch APIs
+    wb = lz.LzfseWriterBytes()
+    wb.write(data)
+    owned = wb.into_bytes()
+    assert lz.LzfseReaderBytes(owned).read() == data
+    batch = [data, b"", b"abc" * 500]
+    encs = lz.encode_many(batch)
+    assert encs == [lz.encode_bytes(b) for b in batch]
+    assert lz.decode_many(encs) == batch
