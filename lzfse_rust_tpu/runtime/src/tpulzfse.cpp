@@ -87,28 +87,43 @@ static inline void wr32(uint8_t* p, uint32_t v) { memcpy(p, &v, 4); }
 static inline void wr64(uint8_t* p, uint64_t v) { memcpy(p, &v, 8); }
 
 // ------------------------------------------------------------ bit streams
-// Backwards reader over a payload copied into a padded scratch: absolute bit
-// position model (see spec/bits.py). Reads below bit 0 yield zeros.
+// Backwards reader over a payload copied into a padded scratch, with the
+// reference's accumulator discipline (src/bits/bit_reader.rs): hold 64 bits
+// in a register, pull from the top, refill whole bytes on flush(). Callers
+// flush once per symbol group (<=54 bits between flushes).
 struct BitRd {
   const uint8_t* buf;  // padded: 8 zero bytes precede logical payload
-  int64_t pos;         // bits remaining (absolute position)
-  // payload includes its own leading 8-byte pad region already
+  uint64_t accum;
+  int accum_bits;      // valid top bits in accum
+  int64_t idx;         // byte index of accum's low end (scratch coords)
   bool init(const uint8_t* padded, size_t payload_len, int off) {
     if (off > 7) return false;
     if (payload_len < 8) return false;
     if (off && (rd64(padded + 8 + payload_len - 8) >> (64 - off)) != 0) return false;
-    buf = padded;  // buf[8..] is the payload
-    pos = (int64_t)payload_len * 8 - off + 64;  // +64 for front scratch pad
+    buf = padded;  // buf[8..] is the payload (which has its own 8-byte pad)
+    idx = (int64_t)payload_len + 8 - 8;  // last 8 payload bytes (+ scratch pad)
+    accum = rd64(buf + idx);
+    accum_bits = 64 - off;
     return true;
   }
-  inline uint32_t pull(int n) {
-    pos -= n;
-    int64_t p = pos < 0 ? 0 : pos;
-    uint64_t w = rd64(buf + (p >> 3));
-    uint32_t bits = (uint32_t)((w >> (p & 7)) & ((1u << n) - 1));
-    return pos < 0 ? 0u : bits;
+  inline void flush() {
+    int nb = (64 - accum_bits) >> 3;
+    idx -= nb;
+    int64_t p = idx < 0 ? 0 : idx;  // below-scratch reads yield pad zeros
+    accum = idx < 0 ? 0 : rd64(buf + p);
+    accum_bits += nb << 3;
   }
-  bool finalize() const { return pos >= 64 + 64; }  // scratch pad + stream pad
+  inline uint32_t pull(int n) {
+    accum_bits -= n;
+    // malformed streams may drive accum_bits negative between flushes; the
+    // shift mask mirrors the reference's wrap and finalize() rejects
+    return (uint32_t)((accum >> (accum_bits & 63)) & ((1u << n) - 1));
+  }
+  bool finalize() {
+    flush();
+    // remaining bits must cover both the scratch pad and the stream pad
+    return accum_bits >= 0 && (int64_t)accum_bits + idx * 8 >= 64 + 64;
+  }
 };
 
 // Forward writer: little-endian accumulator append.
@@ -397,6 +412,7 @@ struct FseDecoder {
       const UEntry& e1 = tabs.u[s1]; literals[i + 1] = e1.sym; s1 = (int)br.pull(e1.k) + e1.delta;
       const UEntry& e2 = tabs.u[s2]; literals[i + 2] = e2.sym; s2 = (int)br.pull(e2.k) + e2.delta;
       const UEntry& e3 = tabs.u[s3]; literals[i + 3] = e3.sym; s3 = (int)br.pull(e3.k) + e3.delta;
+      br.flush();  // <=40 bits per group (literals.rs:65-77 discipline)
     }
     if (!br.finalize()) return -E_UNDERFLOW;
     if (s0 | s1 | s2 | s3) return -E_FSE;
@@ -410,6 +426,7 @@ struct FseDecoder {
         sd = h.lmd_state[2] + L_STATES + M_STATES;
     uint32_t lit_idx = 0, n_match = 0, dist = 0;
     for (uint32_t i = 0; i < h.lmd_num; i++) {
+      br.flush();  // <=54 bits per LMD group (lmds.rs:41-51 discipline)
       const VEntry& el = tabs.v[sl];
       sl = (int)br.pull(el.k) + el.delta;
       uint32_t l = el.vbase + br.pull(el.vbits);
