@@ -269,7 +269,9 @@ def _lmd_kernel(v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref, num_ref,
     fpos_ref[:, :] = pos
 
 
-R_ROWS = 64  # blocks per grid step; loop overhead amortizes ~linearly in R
+R_ROWS = 64  # blocks per grid step. Loop overhead amortizes with R up to
+             # ~64; R=96 measured ~10% slower per block (tile inefficiency)
+             # and R=128 exceeds VMEM for the LMD kernel.
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps",))
