@@ -47,3 +47,23 @@ def test_corpus_file(encoder, snappy_dir):
         (snappy_dir / "Mark.Twain-Tom.Sawyer.txt.lzfse").read_bytes())
     got = encoder.encode_bytes(raw)
     assert got == spec_encode(raw)
+
+
+@pytest.mark.parametrize("vn", [False, True])
+def test_device_match_stream_agrees_with_spec(vn):
+    """The device candidate pipeline + host arbitration must produce the
+    same winning matches as the pure-spec pipeline (both implement the
+    reference's FIFO strict-max rule)."""
+    from lzfse_rust_tpu.models.encoder import TpuEncoder
+    from lzfse_rust_tpu.spec.match_find import find_matches
+
+    rng = np.random.default_rng(33)
+    words = [bytes(rng.integers(97, 110, rng.integers(2, 7), dtype=np.uint8))
+             for _ in range(16)]
+    data = b" ".join(words[int(i)] for i in rng.integers(0, 16, 700))
+    dev = TpuEncoder()._device_matches(data, vn=vn)
+    ref = find_matches(data, vn=vn)
+    assert dev.pos.tolist() == ref.pos.tolist()
+    assert dev.match_pos.tolist() == ref.match_pos.tolist()
+    assert dev.fwd_len.tolist() == ref.fwd_len.tolist()
+    assert dev.back_max.tolist() == ref.back_max.tolist()
