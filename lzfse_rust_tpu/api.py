@@ -108,6 +108,16 @@ class LzfseRingEncoder:
     byte accounting contract of ring_encoder.rs:55-67.
     """
 
+    def writer(self, inner: BinaryIO) -> "LzfseWriter":
+        """Push-encoder writing into an IO stream (ring_encoder writer)."""
+        return LzfseWriter(inner)
+
+    def writer_bytes(self):
+        """Push-encoder accumulating into an owned buffer (writer_bytes)."""
+        from . import __init__ as _  # noqa: F401
+        import lzfse_rust_tpu
+        return lzfse_rust_tpu.LzfseWriterBytes()
+
     def encode(self, reader: BinaryIO, writer: BinaryIO) -> tuple[int, int]:
         from .base import constants as C
         n_raw = 0
@@ -154,7 +164,12 @@ class LzfseRingDecoder:
         return len(src), len(out)
 
     def reader(self, inner: BinaryIO) -> "LzfseReader":
+        """Wrap an IO stream in a pull-decoder (ring_decoder.rs reader)."""
         return LzfseReader(inner)
+
+    def reader_bytes(self, data: bytes) -> "LzfseReaderBytes":
+        """Pull-decoder over an in-memory buffer (reader_bytes)."""
+        return LzfseReaderBytes(data)
 
 
 class LzfseWriter(io.RawIOBase):
