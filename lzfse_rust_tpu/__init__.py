@@ -23,28 +23,11 @@ Engines select the best available backend automatically:
 
 from .api import (LzfseDecoder, LzfseEncoder, LzfseReader, LzfseReaderBytes,
                   LzfseRingDecoder, LzfseRingEncoder, LzfseWriter,
-                  decode_bytes, decode_many, encode_bytes, encode_many, probe)
+                  LzfseWriterBytes, decode_bytes, decode_many, encode_bytes,
+                  encode_many, probe)
 from .base.errors import (BadBitStream, BadBlock, DecodeError, FseError,
                           LzfseError, PayloadOverflow, PayloadUnderflow,
                           VnError)
-
-# WriterBytes is the same adapter over a BytesIO-owned buffer
-from io import BytesIO as _BytesIO
-
-
-class LzfseWriterBytes(LzfseWriter):
-    """Push-style writer accumulating into an owned buffer (reference:
-    LzfseWriterBytes). Call .into_bytes() after close()."""
-
-    def __init__(self):
-        self._buf_out = _BytesIO()
-        super().__init__(self._buf_out)
-
-    def into_bytes(self) -> bytes:
-        if not self.closed:
-            self.close()
-        return self._buf_out.getvalue()
-
 
 __version__ = "0.1.0"
 

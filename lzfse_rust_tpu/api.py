@@ -112,11 +112,9 @@ class LzfseRingEncoder:
         """Push-encoder writing into an IO stream (ring_encoder writer)."""
         return LzfseWriter(inner)
 
-    def writer_bytes(self):
+    def writer_bytes(self) -> "LzfseWriterBytes":
         """Push-encoder accumulating into an owned buffer (writer_bytes)."""
-        from . import __init__ as _  # noqa: F401
-        import lzfse_rust_tpu
-        return lzfse_rust_tpu.LzfseWriterBytes()
+        return LzfseWriterBytes()
 
     def encode(self, reader: BinaryIO, writer: BinaryIO) -> tuple[int, int]:
         from .base import constants as C
@@ -205,6 +203,21 @@ class LzfseWriter(io.RawIOBase):
             self._inner.write(C.MAGIC_EOS.to_bytes(4, "little"))
             self._finalized = True
         super().close()
+
+
+class LzfseWriterBytes(LzfseWriter):
+    """Push-style writer accumulating into an owned buffer (reference:
+    LzfseWriterBytes, writer_bytes.rs:44-78). Call .into_bytes() after
+    close()."""
+
+    def __init__(self):
+        self._buf_out = io.BytesIO()
+        super().__init__(self._buf_out)
+
+    def into_bytes(self) -> bytes:
+        if not self.closed:
+            self.close()
+        return self._buf_out.getvalue()
 
 
 class LzfseReaderBytes(io.RawIOBase):
