@@ -142,9 +142,8 @@ def _literal_kernel(u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
             base_vec = _chunk_base(pos, w_words)
             chunk = chunk_ref[:, :]
 
-            def step(i, carry):
+            def one_step(j, carry):
                 s, pos, acc = carry
-                j = h * EPOCH + i            # in-superepoch output lane
                 gstep = se * SUPER + j
                 active = (gstep * 4) < num
                 ent = _lookup(u_tab_ref, s, 8)
@@ -172,7 +171,12 @@ def _literal_kernel(u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
                 acc = jnp.where(lane == 0, packed, pltpu.roll(acc, 1, 1))
                 return (new_s, new_pos, acc)
 
-            return jax.lax.fori_loop(0, EPOCH, step, (s, pos, acc))
+            def step(i, carry):
+                # 2x unroll amortizes loop control
+                carry = one_step(h * EPOCH + i * 2, carry)
+                return one_step(h * EPOCH + i * 2 + 1, carry)
+
+            return jax.lax.fori_loop(0, EPOCH // 2, step, (s, pos, acc))
 
         s, pos, acc = jax.lax.fori_loop(0, SUPER // EPOCH, half, (s, pos, acc))
         out_ref[:, pl.ds(pl.multiple_of(se * SUPER, SUPER), SUPER)] = \
@@ -211,9 +215,8 @@ def _lmd_kernel(v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref, num_ref,
             base_vec = _chunk_base(pos, w_words)
             chunk = chunk_ref[:, :]
 
-            def step(i, carry):
+            def one_step(j, carry):
                 s, pos, acc_lm, acc_d = carry
-                j = h * EPOCH + i
                 gstep = se * SUPER + j
                 active = gstep < num
                 ent = _lookup(v_tab_ref, s, 3)
@@ -254,7 +257,12 @@ def _lmd_kernel(v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref, num_ref,
                 acc_d = jnp.where(lane == 0, d_v, pltpu.roll(acc_d, 1, 1))
                 return (new_s, new_pos, acc_lm, acc_d)
 
-            return jax.lax.fori_loop(0, EPOCH, step, (s, pos, acc_lm, acc_d))
+            def step(i, carry):
+                carry = one_step(h * EPOCH + i * 2, carry)
+                return one_step(h * EPOCH + i * 2 + 1, carry)
+
+            return jax.lax.fori_loop(0, EPOCH // 2, step,
+                                     (s, pos, acc_lm, acc_d))
 
         s, pos, acc_lm, acc_d = jax.lax.fori_loop(
             0, SUPER // EPOCH, half, (s, pos, acc_lm, acc_d))
