@@ -11,11 +11,13 @@ This module provides the batched building blocks:
     (encoder.rs:219-240 vectorized), packed one int32 per entry
   * encode_literals_batch — 4-lane reverse state scan emitting
     (bits, n_bits) per step, one lax.scan step per 4 symbols
+  * encode_lmds_batch — 3-lane reverse LMD scan emitting the six
+    (bits, n_bits) pushes per row in exact stream order
 
 Bit PACKING (turning the (bits, n_bits) stream into payload bytes) runs on
 the host for now: positions are an exclusive prefix sum of n_bits and the
-packing is a short numpy pass; a device scatter formulation and the LMD-side
-scan are round-2 work (STATUS.md). The outputs here are validated
+packing is a short numpy pass; a device scatter formulation and the Pallas
+ports are round-2 work (STATUS.md). The outputs here are validated
 byte-identical to the spec encoder's payloads.
 """
 
@@ -120,3 +122,75 @@ def pack_bits_host(stream: np.ndarray) -> tuple[bytes, int]:
         np.bitwise_or.at(buf, byte0 + k, ((v >> np.uint64(8 * k))
                                           & np.uint64(0xFF)).astype(np.uint8))
     return buf[:n_bytes].tobytes(), off
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps",))
+def encode_lmds_batch(e_l: jnp.ndarray, e_m: jnp.ndarray, e_d: jnp.ndarray,
+                      lmds: jnp.ndarray, num: jnp.ndarray, n_steps: int):
+    """Reverse 3-lane LMD state evolution (lmds.rs:62-93).
+
+    lmds: (B, n_steps, 3) packed (l, m, d) rows; num: (B,) row counts.
+    Emits per step six (bits, n_bits) pairs in push order — d extra, d
+    state, m extra, m state, l extra, l state — plus final (L, M, D) states.
+    """
+    B = e_l.shape[0]
+    l_sym_t = jnp.asarray(C.L_BASE_FROM_VALUE)
+    m_sym_t = jnp.asarray(C.M_BASE_FROM_VALUE)
+    d_sym_t = jnp.asarray(C.D_BASE_FROM_VALUE)
+    l_extra = jnp.asarray(C.L_EXTRA_BITS)
+    m_extra = jnp.asarray(C.M_EXTRA_BITS)
+    d_extra = jnp.asarray(C.D_EXTRA_BITS)
+    l_base = jnp.asarray(C.L_BASE_VALUE)
+    m_base = jnp.asarray(C.M_BASE_VALUE)
+    d_base = jnp.asarray(C.D_BASE_VALUE)
+
+    def d_index(v):
+        return jnp.where(
+            v < 60, v,
+            jnp.where(v < 1020, ((v - 60) >> 4) + 64,
+                      jnp.where(v < 16380, ((v - 1020) >> 8) + 128,
+                                ((v - 16380) >> 12) + 192)))
+
+    def one(e_tab, s, sym, active):
+        e = jnp.take_along_axis(e_tab, sym[:, None], axis=1)[:, 0]
+        t_k = (e & 0x7FFF) - 2048
+        t_w = e >> 15
+        n_bits = (t_k + s) >> 10
+        bits = s & ((1 << n_bits) - 1)
+        s_new = jnp.where(active, t_w + (s >> n_bits), s)
+        return s_new, jnp.where(active, bits, 0), jnp.where(active, n_bits, 0)
+
+    def step(carry, i):
+        sl, sm, sd = carry
+        r = num - 1 - i
+        active = r >= 0
+        safe = jnp.maximum(r, 0)
+        row = jnp.take_along_axis(lmds, safe[:, None, None], axis=1)[:, 0, :]
+        l, m, d = row[:, 0], row[:, 1], row[:, 2]
+        d_i = d_index(d)
+        ds = jnp.take(d_sym_t, d_i)
+        d_eb = jnp.take(d_extra, ds)
+        d_ex = d - jnp.take(d_base, ds)
+        sd, db, dn = one(e_d, sd, ds, active)
+        ms = jnp.take(m_sym_t, m)
+        m_eb = jnp.take(m_extra, ms)
+        m_ex = m - jnp.take(m_base, ms)
+        sm, mb, mn = one(e_m, sm, ms, active)
+        ls = jnp.take(l_sym_t, l)
+        l_eb = jnp.take(l_extra, ls)
+        l_ex = l - jnp.take(l_base, ls)
+        sl, lb, ln = one(e_l, sl, ls, active)
+        z = jnp.where(active, 1, 0)
+        out = jnp.stack([d_ex * z, d_eb * z, db, dn,
+                         m_ex * z, m_eb * z, mb, mn,
+                         l_ex * z, l_eb * z, lb, ln], axis=1)
+        return (sl, sm, sd), out
+
+    init = (jnp.full((B,), C.L_STATES, jnp.int32),
+            jnp.full((B,), C.M_STATES, jnp.int32),
+            jnp.full((B,), C.D_STATES, jnp.int32))
+    (sl, sm, sd), outs = jax.lax.scan(
+        step, init, jnp.arange(n_steps, dtype=jnp.int32))
+    states = jnp.stack([sl - C.L_STATES, sm - C.M_STATES, sd - C.D_STATES],
+                       axis=1)
+    return jnp.transpose(outs, (1, 0, 2)), states

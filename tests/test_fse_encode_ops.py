@@ -53,3 +53,27 @@ def test_literal_encode_byte_identical(n):
     assert payload == want_payload
     assert off == want_param.bits
     assert tuple(np.asarray(states)[0]) == want_param.state
+
+
+@pytest.mark.parametrize("n", [1, 57, 2000])
+def test_lmd_encode_byte_identical(n):
+    rng = np.random.default_rng(n + 100)
+    lmds = np.zeros((n, 3), np.int32)
+    lmds[:, 0] = rng.integers(0, C.MAX_L_VALUE + 1, n)
+    lmds[:, 1] = rng.integers(0, C.MAX_M_VALUE + 1, n)
+    lmds[:, 2] = rng.integers(0, C.MAX_D_VALUE + 1, n)
+    lmds[0, 2] = max(lmds[0, 2], 1)
+    w = W.weights_from_block(lmds, np.zeros(0, np.uint8))
+    want_payload, want_param = F.encode_lmds(lmds, EncoderTables(w))
+
+    from lzfse_rust_tpu.ops.fse_encode import encode_lmds_batch
+    e_l, e_m, e_d, _ = build_encode_tables(jnp.asarray(w[None, :], jnp.int32))
+    buf = np.zeros((1, n, 3), np.int32)
+    buf[0] = lmds
+    outs, states = encode_lmds_batch(
+        e_l, e_m, e_d, jnp.asarray(buf), jnp.asarray([n], np.int32), n)
+    stream = np.asarray(outs)[0].reshape(-1, 2)
+    payload, off = pack_bits_host(stream)
+    assert b"\x00" * 8 + payload == want_payload
+    assert off == want_param.bits
+    assert tuple(np.asarray(states)[0]) == want_param.state
