@@ -91,3 +91,20 @@ def test_native_mutation_agreement_with_spec(mutate_dir):
         if n_err is None:
             assert n_out == s_out, f"offset {i}"
         data[i] ^= 0xFF
+
+
+def test_synth_corpus_encode_roundtrip(synth_dir):
+    """Encode-roundtrip the synthetic families (word/repl/reps/random).
+
+    The size check allows small slack: these fixtures' encoder is
+    unspecified (the reference bench only decode-tests repl/reps,
+    bench.rs:112-115) and our measured outputs beat most of them while
+    reps15 lands 7 bytes over. The hard <=-reference size contract is
+    enforced on the Snappy corpus vs the Apple-encoded fixtures.
+    """
+    for p in sorted(synth_dir.glob("*.lzfse"))[::5]:  # sample every 5th
+        raw = native.decode_bytes(p.read_bytes())
+        enc = native.encode_bytes(raw)
+        assert native.decode_bytes(enc) == raw, p.name
+        assert spec.decode_bytes(enc) == raw, p.name
+        assert len(enc) <= p.stat().st_size + 16, p.name
