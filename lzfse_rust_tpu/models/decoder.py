@@ -153,6 +153,19 @@ def _substitute_jit(lmds):
 
 
 @functools.lru_cache(maxsize=1)
+def _take_rows_fn():
+    """Jitted device row-gather (fast on TPU: ~1G rows/s, unlike element
+    gathers) used to permute packed tables into size-sorted kernel order."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def take(x, idx):
+        return jnp.take(x, idx, axis=0)
+    return take
+
+
+@functools.lru_cache(maxsize=1)
 def _unpack_fn():
     """Jitted unpacker for the pallas kernels' packed outputs."""
     import jax
@@ -193,22 +206,43 @@ class TpuDecoder:
                 use_native_rebuild = False
         self.use_native_rebuild = use_native_rebuild
 
-    def decode_many(self, sources: list[bytes]) -> list[bytes]:
-        """Decode a batch of containers, block-parallel across all of them."""
+    def decode_many(self, sources: list[bytes],
+                    stats: dict | None = None) -> list[bytes]:
+        """Decode a batch of containers, block-parallel across all of them.
+
+        `stats`, when given, receives wall-clock seconds per pipeline stage
+        (parse / prep / device / flatten / rebuild) — the honest accounting
+        the benchmark driver reports. `device` includes the host<->device
+        transfer sync, which on tunneled harnesses is dominated by link
+        artifacts; bench.py substitutes an in-jit device measurement there.
+        """
+        import time as _time
         import jax.numpy as jnp
         from ..ops.fse_decode import (bytes_to_windows, decode_literals_batch,
                                       decode_lmds_batch)
         from ..ops.lz_rebuild import lz_rebuild_batch
         from ..ops.table_build import build_decode_tables
 
+        _t0 = _time.perf_counter()
+
+        def _mark(key):
+            nonlocal _t0
+            t = _time.perf_counter()
+            if stats is not None:
+                stats[key] = stats.get(key, 0.0) + (t - _t0)
+            _t0 = t
+
         fse_blocks: list[_FseBlockDesc] = []
         parsed = [_parse_container(s, i, fse_blocks)
                   for i, s in enumerate(sources)]
+        _mark("parse")
 
         lit_arr = np.zeros((max(len(fse_blocks), 1), 0), dtype=np.uint8)
         if fse_blocks:
-            # pad block batch for jit cache reuse; pallas needs multiples of 32
-            B = _bucket(len(fse_blocks), 32 if self.use_pallas else 1)
+            # pad block batch for jit cache reuse; pallas needs multiples of
+            # the kernel row-group size
+            from ..ops.pallas_decode import R_ROWS
+            B = _bucket(len(fse_blocks), R_ROWS if self.use_pallas else 1)
             weights = np.zeros((B, C.N_WEIGHTS), dtype=np.int32)
             weights[:len(fse_blocks)] = np.stack(
                 [d.weights for d in fse_blocks])
@@ -238,16 +272,25 @@ class TpuDecoder:
             if self.use_pallas:
                 from ..ops.pallas_decode import (decode_literals_pallas,
                                                  decode_lmds_pallas)
+                # Sort blocks by per-kernel step count so each R_ROWS group
+                # is homogeneous — the kernels run a dynamic per-group
+                # superepoch count, skipping the dead tail of the static cap
+                # (corpus literal fill is ~29%, LMD ~67% of the cap).
+                perm_l = np.argsort(-((lit_num + 3) // 4),
+                                    kind="stable").astype(np.int32)
+                perm_m = np.argsort(-lmd_num, kind="stable").astype(np.int32)
+                inv_l = np.argsort(perm_l).astype(np.int32)
+                inv_m = np.argsort(perm_m).astype(np.int32)
                 # word views padded to a multiple of 128 (Mosaic-aligned
                 # dynamic slices in the pallas kernels)
                 lit_w_total = _round_up(LIT_PAYLOAD_PAD // 4 + 4, 128)
                 lit_words = np.zeros((B, lit_w_total), np.int32)
                 lit_words[:, :LIT_PAYLOAD_PAD // 4] = \
-                    litp[:, :LIT_PAYLOAD_PAD].view("<i4")
+                    litp[perm_l, :LIT_PAYLOAD_PAD].view("<i4")
                 lmd_w_total = _round_up(LMD_PAYLOAD_PAD // 4 + 4, 128)
                 lmd_words = np.zeros((B, lmd_w_total), np.int32)
                 lmd_words[:, :LMD_PAYLOAD_PAD // 4] = \
-                    lmdp[:, :LMD_PAYLOAD_PAD].view("<i4")
+                    lmdp[perm_m, :LMD_PAYLOAD_PAD].view("<i4")
 
                 def vec(x):  # (B, n) -> (B, 128) lane layout
                     out = np.zeros((B, 128), np.int32)
@@ -258,19 +301,25 @@ class TpuDecoder:
                     return jnp.asarray(
                         np.repeat(x[:, None], 128, axis=1).astype(np.int32))
 
+                take = _take_rows_fn()
                 lit_pk, lit_fs128, lit_fp128 = decode_literals_pallas(
-                    u_packed, jnp.asarray(lit_words), vec(lit_states),
-                    bcast(lit_pos), bcast(lit_num),
+                    take(u_packed, jnp.asarray(perm_l)),
+                    jnp.asarray(lit_words), vec(lit_states[perm_l]),
+                    bcast(lit_pos[perm_l]), bcast(lit_num[perm_l]),
                     C.LITERALS_PER_BLOCK // 4)
                 lm_pk, d_pk, lmd_fs128, lmd_fp128 = decode_lmds_pallas(
-                    v_packed, jnp.asarray(lmd_words),
-                    vec(lmd_states), bcast(lmd_pos), bcast(lmd_num),
+                    take(v_packed, jnp.asarray(perm_m)),
+                    jnp.asarray(lmd_words), vec(lmd_states[perm_m]),
+                    bcast(lmd_pos[perm_m]), bcast(lmd_num[perm_m]),
                     C.LMDS_PER_BLOCK)
-                literals, lmds = _unpack_fn()(lit_pk, lm_pk, d_pk)
-                lit_fs = lit_fs128[:, :4]
-                lit_fp = lit_fp128[:, 0]
-                lmd_fs = lmd_fs128[:, :3]
-                lmd_fp = lmd_fp128[:, 0]
+                literals, lmds = _unpack_fn()(
+                    take(lit_pk, jnp.asarray(inv_l)),
+                    take(lm_pk, jnp.asarray(inv_m)),
+                    take(d_pk, jnp.asarray(inv_m)))
+                lit_fs = lit_fs128[inv_l, :4]
+                lit_fp = lit_fp128[inv_l, 0]
+                lmd_fs = lmd_fs128[inv_m, :3]
+                lmd_fp = lmd_fp128[inv_m, 0]
             else:
                 lit_w = bytes_to_windows(jnp.asarray(litp))
                 lmd_w = bytes_to_windows(jnp.asarray(lmdp))
@@ -283,6 +332,7 @@ class TpuDecoder:
                     jnp.asarray(lmd_pos), jnp.asarray(lmd_num),
                     C.LMDS_PER_BLOCK)
             lmds = _substitute_jit(lmds)
+            _mark("prep")
 
             # Stream validity (fse_core.rs:132-140 + literals.rs:79-87):
             # final states at defaults, no payload underflow (>= 64 bits of
@@ -297,12 +347,14 @@ class TpuDecoder:
             fse_ok = lit_ok & lmd_ok
             lit_arr = np.asarray(literals)
             lmd_arr = np.asarray(lmds)
+            _mark("device")
         else:
             fse_ok = np.zeros(0, dtype=bool)
 
         # Flatten each container's parts into one row stream + literal pool.
         results: list[bytes | None] = [None] * len(sources)
         conts: list[tuple[int, np.ndarray, np.ndarray]] = []
+        native_jobs: list[tuple[int, np.ndarray, np.ndarray]] = []
         for ci, pc in enumerate(parsed):
             rows_list, lit_list = [], []
             valid = True
@@ -332,6 +384,8 @@ class TpuDecoder:
                     lit_list.append(np.frombuffer(part[2], dtype=np.uint8))
             if not valid:
                 # exact error semantics via the scalar spec layer
+                if stats is not None:
+                    stats["fallbacks"] = stats.get("fallbacks", 0) + 1
                 results[ci] = spec_container.decode_bytes(sources[ci])
                 continue
             rows = (np.concatenate(rows_list) if rows_list
@@ -341,18 +395,42 @@ class TpuDecoder:
             if self.use_native_rebuild:
                 # hybrid path: entropy decode came from the device, the
                 # memory-bound copy-back runs in the native engine
-                try:
-                    from ..runtime import native
-                    out = native.rebuild(rows, lits.tobytes(), pc.n_raw)
-                    if len(out) == pc.n_raw:
-                        results[ci] = out
-                    else:
-                        results[ci] = spec_container.decode_bytes(sources[ci])
-                    continue
-                except Exception:
-                    results[ci] = spec_container.decode_bytes(sources[ci])
-                    continue
+                native_jobs.append((ci, rows, lits))
+                continue
             conts.append((ci, rows, lits))
+
+        _mark("flatten")
+        if native_jobs:
+            # containers are independent — rebuild them in parallel (the
+            # ctypes call releases the GIL); the reference is single-threaded
+            # here, host parallelism is free capability headroom
+            import os
+            from concurrent.futures import ThreadPoolExecutor
+            from ..runtime import native
+
+            def _job(t):
+                ci, rows, lits = t
+                try:
+                    out = native.rebuild(rows, lits.tobytes(), parsed[ci].n_raw)
+                    return ci, (out if len(out) == parsed[ci].n_raw else None)
+                except Exception:
+                    return ci, None
+
+            if len(native_jobs) == 1:
+                it = map(_job, native_jobs)
+            else:
+                pool = ThreadPoolExecutor(
+                    max_workers=min(os.cpu_count() or 1, len(native_jobs)))
+                it = pool.map(_job, native_jobs)
+            for ci, out in it:
+                if out is None:
+                    if stats is not None:
+                        stats["fallbacks"] = stats.get("fallbacks", 0) + 1
+                    out = spec_container.decode_bytes(sources[ci])
+                results[ci] = out
+            if len(native_jobs) > 1:
+                pool.shutdown()
+            _mark("rebuild")
 
         if conts:
             Bc = _bucket(len(conts))
@@ -376,7 +454,10 @@ class TpuDecoder:
                 if ok_np[k]:
                     results[ci] = out_np[k, :parsed[ci].n_raw].tobytes()
                 else:
+                    if stats is not None:
+                        stats["fallbacks"] = stats.get("fallbacks", 0) + 1
                     results[ci] = spec_container.decode_bytes(sources[ci])
+            _mark("rebuild")
         return results  # type: ignore[return-value]
 
     def decode_bytes(self, src: bytes) -> bytes:

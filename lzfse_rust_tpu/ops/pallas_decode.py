@@ -123,7 +123,7 @@ def _flip_lanes(x):
     return jnp.take_along_axis(x, 127 - lane, axis=1)
 
 
-def _literal_kernel(u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
+def _literal_kernel(ns_ref, u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
                     out_ref, fs_ref, fpos_ref,
                     chunk_ref, pos_s_ref, *, r_rows, n_steps, w_words):
     lane = jax.lax.broadcasted_iota(jnp.int32, (r_rows, 128), 1)
@@ -156,11 +156,13 @@ def _literal_kernel(u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
                 p_lane = pos - ksum
                 bits = _extract(chunk, base_vec, p_lane, ent & 15)
                 new_s = jnp.where(active, bits + delta, s)
-                new_pos = jnp.where(
-                    active,
-                    jnp.min(jnp.where(lane < 4, p_lane, jnp.int32(2**30)),
-                            axis=1, keepdims=True) + jnp.zeros_like(pos),
-                    pos)
+                # total bits consumed = inclusive k-prefix at lane 3;
+                # roll-tree broadcast to lanes 0..3 (cheaper than a full
+                # lane min-reduce; lanes >= 4 keep a stale pos, unused)
+                t = jnp.where(lane == 3, ksum, 0)
+                t = t + pltpu.roll(t, 127, 1)
+                t = t + pltpu.roll(t, 126, 1)
+                new_pos = jnp.where(active, pos - t, pos)
                 # pack 4 symbols into one int32 word (valid at lane 0) and
                 # shift it into the rolling accumulator; the store flips the
                 # lane order once per superepoch — cheaper than a per-step
@@ -172,18 +174,23 @@ def _literal_kernel(u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
                 return (new_s, new_pos, acc)
 
             def step(i, carry):
-                # 2x unroll amortizes loop control
-                carry = one_step(h * EPOCH + i * 2, carry)
-                return one_step(h * EPOCH + i * 2 + 1, carry)
+                # 4x unroll amortizes loop control
+                carry = one_step(h * EPOCH + i * 4, carry)
+                carry = one_step(h * EPOCH + i * 4 + 1, carry)
+                carry = one_step(h * EPOCH + i * 4 + 2, carry)
+                return one_step(h * EPOCH + i * 4 + 3, carry)
 
-            return jax.lax.fori_loop(0, EPOCH // 2, step, (s, pos, acc))
+            return jax.lax.fori_loop(0, EPOCH // 4, step, (s, pos, acc))
 
         s, pos, acc = jax.lax.fori_loop(0, SUPER // EPOCH, half, (s, pos, acc))
         out_ref[:, pl.ds(pl.multiple_of(se * SUPER, SUPER), SUPER)] = \
             _flip_lanes(acc)
         return (s, pos)
 
-    n_super = (n_steps + SUPER - 1) // SUPER
+    # dynamic trip count: this group's blocks were sorted by size, so the
+    # scalar-prefetched superepoch count skips the dead tail the static cap
+    # would otherwise burn (corpus mean literal fill is ~29% of the cap)
+    n_super = ns_ref[pl.program_id(0), 0]
     s, pos = jax.lax.fori_loop(0, n_super, superepoch, (states0, pos0))
     fs_ref[:, :] = s
     fpos_ref[:, :] = pos
@@ -194,8 +201,8 @@ def _neg_roll(x, shift):
     return pltpu.roll(x, 128 - shift, 1)
 
 
-def _lmd_kernel(v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref, num_ref,
-                out_lm_ref, out_d_ref, fs_ref, fpos_ref,
+def _lmd_kernel(ns_ref, v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref,
+                num_ref, out_lm_ref, out_d_ref, fs_ref, fpos_ref,
                 chunk_ref, pos_s_ref, *, r_rows, n_steps, w_words):
     lane = jax.lax.broadcasted_iota(jnp.int32, (r_rows, 128), 1)
     d_base_row = d_base_ref[:, :]  # (R, 128): lanes 0..63 = D_BASE_VALUE
@@ -245,11 +252,12 @@ def _lmd_kernel(v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref, num_ref,
                     (both.astype(jnp.uint32) >> nbu).astype(jnp.int32))
                 value = base + vbits
                 new_s = jnp.where(active, sbits + delta, s)
-                new_pos = jnp.where(
-                    active,
-                    jnp.min(jnp.where(lane < 3, p_extra, jnp.int32(2**30)),
-                            axis=1, keepdims=True) + jnp.zeros_like(pos),
-                    pos)
+                # total consumed = inclusive (k+nb)-prefix at lane 2;
+                # roll-tree broadcast to lanes 0..2 (see literal kernel)
+                t = jnp.where(lane == 2, pre + knb, 0)
+                t = t + pltpu.roll(t, 127, 1)
+                t = t + pltpu.roll(t, 126, 1)
+                new_pos = jnp.where(active, pos - t, pos)
                 value = jnp.where(active, value, 0)
                 lm = value + (_neg_roll(value, 1) << 16)   # l | m << 16
                 d_v = _neg_roll(value, 2)
@@ -258,10 +266,12 @@ def _lmd_kernel(v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref, num_ref,
                 return (new_s, new_pos, acc_lm, acc_d)
 
             def step(i, carry):
-                carry = one_step(h * EPOCH + i * 2, carry)
-                return one_step(h * EPOCH + i * 2 + 1, carry)
+                carry = one_step(h * EPOCH + i * 4, carry)
+                carry = one_step(h * EPOCH + i * 4 + 1, carry)
+                carry = one_step(h * EPOCH + i * 4 + 2, carry)
+                return one_step(h * EPOCH + i * 4 + 3, carry)
 
-            return jax.lax.fori_loop(0, EPOCH // 2, step,
+            return jax.lax.fori_loop(0, EPOCH // 4, step,
                                      (s, pos, acc_lm, acc_d))
 
         s, pos, acc_lm, acc_d = jax.lax.fori_loop(
@@ -271,7 +281,7 @@ def _lmd_kernel(v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref, num_ref,
         out_d_ref[:, pl.ds(off, SUPER)] = _flip_lanes(acc_d)
         return (s, pos)
 
-    n_super = (n_steps + SUPER - 1) // SUPER
+    n_super = ns_ref[pl.program_id(0), 0]
     s, pos = jax.lax.fori_loop(0, n_super, superepoch, (states0, pos0))
     fs_ref[:, :] = s
     fpos_ref[:, :] = pos
@@ -297,12 +307,21 @@ def decode_literals_pallas(u_tab, win_words, init_states, init_pos, num,
     assert B % R_ROWS == 0
     grid = (B // R_ROWS,)
     n_out = (n_steps + SUPER - 1) // SUPER * SUPER
+    # per-group dynamic superepoch count from the actual literal fill; the
+    # caller sorts blocks by size so groups are homogeneous
+    steps = (num[:, 0] + 3) // 4
+    gmax = jnp.max(steps.reshape(-1, R_ROWS), axis=1)
+    ns = jnp.minimum((gmax + SUPER - 1) // SUPER,
+                     n_out // SUPER).astype(jnp.int32).reshape(-1, 1)
+    ns_shape = (B // R_ROWS, 1)
     kernel = functools.partial(_literal_kernel, r_rows=R_ROWS,
                                n_steps=n_steps, w_words=W)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(ns_shape, lambda g: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((R_ROWS, 1024), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R_ROWS, W), lambda g: (g, 0),
@@ -331,7 +350,7 @@ def decode_literals_pallas(u_tab, win_words, init_states, init_pos, num,
             pltpu.VMEM((R_ROWS, 256), jnp.int32),
             pltpu.VMEM((R_ROWS, 128), jnp.int32),
         ],
-    )(u_tab, win_words, init_states, init_pos, num)
+    )(ns, u_tab, win_words, init_states, init_pos, num)
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps",))
@@ -350,15 +369,22 @@ def decode_lmds_pallas(v_tab, win_words, init_states, init_pos, num,
     assert B % R_ROWS == 0
     grid = (B // R_ROWS,)
     n_out = (n_steps + SUPER - 1) // SUPER * SUPER
+    steps = num[:, 0]
+    gmax = jnp.max(steps.reshape(-1, R_ROWS), axis=1)
+    ns = jnp.minimum((gmax + SUPER - 1) // SUPER,
+                     n_out // SUPER).astype(jnp.int32).reshape(-1, 1)
     d_base_host = _np.zeros((B, 128), _np.int32)
     d_base_host[:, :_C.D_SYMBOLS] = _C.D_BASE_VALUE
     d_base = jnp.asarray(d_base_host)
+    ns_shape = (B // R_ROWS, 1)
     kernel = functools.partial(_lmd_kernel, r_rows=R_ROWS, n_steps=n_steps,
                                w_words=W)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(ns_shape, lambda g: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((R_ROWS, 384), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R_ROWS, 128), lambda g: (g, 0),
@@ -392,4 +418,4 @@ def decode_lmds_pallas(v_tab, win_words, init_states, init_pos, num,
             pltpu.VMEM((R_ROWS, 256), jnp.int32),
             pltpu.VMEM((R_ROWS, 128), jnp.int32),
         ],
-    )(v_tab, d_base, win_words, init_states, init_pos, num)
+    )(ns, v_tab, d_base, win_words, init_states, init_pos, num)

@@ -36,20 +36,30 @@ def vec(x):
 def bc(x):
     return jnp.asarray(np.repeat(x[:,None],128,1).astype(np.int32))
 
+# sort blocks by per-kernel step count (mirrors TpuDecoder.decode_many) so
+# the dynamic per-group superepoch counts see homogeneous groups
+perm_l = np.argsort(-((lit_num + 3) // 4), kind="stable").astype(np.int32)
+perm_m = np.argsort(-lmd_num, kind="stable").astype(np.int32)
+lit_words = lit_words[perm_l]; lmd_words = lmd_words[perm_m]
+
 Wd = jnp.asarray(weights); LW = jnp.asarray(lit_words); MW = jnp.asarray(lmd_words)
-LS = vec(lit_states); MS = vec(lmd_states); LP = bc(lit_pos); MP = bc(lmd_pos)
-LN = bc(lit_num); MN = bc(lmd_num)
+LS = vec(lit_states[perm_l]); MS = vec(lmd_states[perm_m])
+LP = bc(lit_pos[perm_l]); MP = bc(lmd_pos[perm_m])
+LN = bc(lit_num[perm_l]); MN = bc(lmd_num[perm_m])
+PL = jnp.asarray(perm_l); PM = jnp.asarray(perm_m)
 
 @functools.partial(jax.jit, static_argnames="n_rep")
-def pipe(Wd, LW, MW, LS, MS, LP, MP, LN, MN, n_rep):
+def pipe(Wd, LW, MW, LS, MS, LP, MP, LN, MN, PL, PM, n_rep):
     def body(r, acc):
         vp, vb, up = build_decode_tables(Wd + r - r)
-        lits, lfs, lfp = decode_literals_pallas(up, LW, LS, LP + r - r, LN, 10000)
-        lm, dd, mfs, mfp = decode_lmds_pallas(vp, MW, MS, MP + r - r, MN, 10000)
+        lits, lfs, lfp = decode_literals_pallas(
+            jnp.take(up, PL, axis=0), LW, LS, LP + r - r, LN, 10000)
+        lm, dd, mfs, mfp = decode_lmds_pallas(
+            jnp.take(vp, PM, axis=0), MW, MS, MP + r - r, MN, 10000)
         return acc + jnp.sum(lfs) + jnp.sum(mfs) + lits[0,0] + lm[0,0] + dd[0,0]
     return jax.lax.fori_loop(0, n_rep, body, jnp.int32(0))
 
-args = (Wd, LW, MW, LS, MS, LP, MP, LN, MN)
+args = (Wd, LW, MW, LS, MS, LP, MP, LN, MN, PL, PM)
 t0 = time.time()
 f1 = lambda: float(pipe(*args, n_rep=1))
 f5 = lambda: float(pipe(*args, n_rep=5))
