@@ -152,14 +152,54 @@ def _encode_chunk_body(data: bytes) -> bytes:
     return full[:-4]
 
 
+def _new_stream_decoder():
+    """Constant-memory incremental decoder: native engine when built (O(1)
+    state: bounded block carry + 1 MiB output ring), else the spec-layer
+    block-granular fallback."""
+    n = _native()
+    if n is not None:
+        return n.StreamDecoder()
+    from .spec.streaming import SpecStreamDecoder
+    return SpecStreamDecoder()
+
+
+_IO_CHUNK = 1 << 16
+
+
 class LzfseRingDecoder:
-    """Streaming decoder over IO objects (reference: LzfseRingDecoder)."""
+    """Streaming decoder over IO objects (reference: LzfseRingDecoder,
+    src/decode/ring_decoder.rs). Decodes unbounded streams in constant
+    memory: input is fed in 64 KB chunks through the incremental stream
+    decoder and output drained as it appears — nothing is ever materialized
+    whole (reference counterpart: ReaderCore::fill + ring output,
+    src/decode/reader_core.rs:56-99)."""
 
     def decode(self, reader: BinaryIO, writer: BinaryIO) -> tuple[int, int]:
-        src = reader.read()
-        out = decode_bytes(src)
-        writer.write(out)
-        return len(src), len(out)
+        dec = _new_stream_decoder()
+        n_payload = 0
+        n_raw = 0
+        while True:
+            chunk = reader.read(_IO_CHUNK)
+            if not chunk:
+                break
+            n_payload += len(chunk)
+            off = 0
+            while off < len(chunk):
+                off += dec.push(chunk[off:])
+                while True:
+                    out = dec.pull()
+                    if not out:
+                        break
+                    writer.write(out)
+                    n_raw += len(out)
+        while True:
+            out = dec.pull()
+            if not out:
+                break
+            writer.write(out)
+            n_raw += len(out)
+        dec.finish()
+        return n_payload, n_raw
 
     def reader(self, inner: BinaryIO) -> "LzfseReader":
         """Wrap an IO stream in a pull-decoder (ring_decoder.rs reader)."""
@@ -220,54 +260,75 @@ class LzfseWriterBytes(LzfseWriter):
         return self._buf_out.getvalue()
 
 
-class LzfseReaderBytes(io.RawIOBase):
-    """Pull-style reader over an in-memory buffer (reference:
-    LzfseReaderBytes)."""
-
-    def __init__(self, data: bytes):
-        super().__init__()
-        self._decoded = decode_bytes(data)
-        self._pos = 0
-
-    def readable(self) -> bool:
-        return True
-
-    def read(self, size: int = -1) -> bytes:
-        if size is None or size < 0:
-            out = self._decoded[self._pos:]
-            self._pos = len(self._decoded)
-            return out
-        out = self._decoded[self._pos:self._pos + size]
-        self._pos += len(out)
-        return out
-
-
 class LzfseReader(io.RawIOBase):
-    """Pull-style decompressing reader (reference: LzfseReader).
+    """Pull-style decompressing reader (reference: LzfseReader,
+    src/decode/reader.rs).
 
-    Decodes one block at a time on demand, mirroring the incremental pull
-    semantics of reader_core.rs (block-granular rather than 64KB-granular).
+    Truly incremental: each read() pulls only as much as requested from the
+    stream decoder, feeding compressed input in 64 KB chunks on demand.
+    Memory stays O(1) regardless of stream size (native engine) /
+    O(block) (spec fallback) — the whole container is never materialized.
     """
 
     def __init__(self, inner: BinaryIO):
         super().__init__()
-        self._src = inner.read()
-        self._decoded = decode_bytes(self._src)
-        self._pos = 0
+        self._inner = inner
+        self._dec = _new_stream_decoder()
+        self._buf = bytearray()
+        self._in_eof = False
+        self._finished = False
 
     def readable(self) -> bool:
         return True
 
+    def _fill(self, want: int) -> None:
+        """Grow the internal buffer to >= want bytes or hit end of stream."""
+        while len(self._buf) < want and not self._finished:
+            out = self._dec.pull()
+            if out:
+                self._buf += out
+                continue
+            if self._in_eof:
+                self._dec.finish()  # validates EOS + no truncation
+                self._finished = True
+                break
+            chunk = self._inner.read(_IO_CHUNK)
+            if not chunk:
+                self._in_eof = True
+                continue
+            off = 0
+            while off < len(chunk):
+                used = self._dec.push(chunk[off:])
+                off += used
+                if off < len(chunk):  # output backpressure: drain
+                    out = self._dec.pull()
+                    if out:
+                        self._buf += out
+
     def read(self, size: int = -1) -> bytes:
         if size is None or size < 0:
-            out = self._decoded[self._pos:]
-            self._pos = len(self._decoded)
-            return out
-        out = self._decoded[self._pos:self._pos + size]
-        self._pos += len(out)
+            parts = []
+            while True:
+                self._fill(_IO_CHUNK)
+                if not self._buf:
+                    break
+                parts.append(bytes(self._buf))
+                self._buf.clear()
+            return b"".join(parts)
+        self._fill(size)
+        out = bytes(self._buf[:size])
+        del self._buf[:size]
         return out
 
     def readinto(self, b) -> int:
         data = self.read(len(b))
         b[:len(data)] = data
         return len(data)
+
+
+class LzfseReaderBytes(LzfseReader):
+    """Pull-style reader over an in-memory buffer (reference:
+    LzfseReaderBytes). Decodes incrementally as the caller pulls."""
+
+    def __init__(self, data: bytes):
+        super().__init__(io.BytesIO(data))

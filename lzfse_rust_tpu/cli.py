@@ -17,6 +17,7 @@ import sys
 import time
 
 from .api import LzfseRingDecoder, LzfseRingEncoder
+from .base.errors import LzfseError
 
 
 def _open_in(path):
@@ -55,6 +56,12 @@ def main(argv=None) -> int:
             n_raw, n_payload = LzfseRingEncoder().encode(src, dst)
         else:
             n_payload, n_raw = LzfseRingDecoder().decode(src, dst)
+    except LzfseError as e:
+        # clean diagnostics, like the reference tool (lzfoo/main.rs error
+        # paths) — not a Python traceback
+        sys.stderr.write(f"lzfoo: {'encode' if args.encode else 'decode'} "
+                         f"failed: {e}\n")
+        return 1
     finally:
         if args.i:
             src.close()

@@ -49,6 +49,18 @@ def _configure(lib) -> None:
     lib.tl_rebuild.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
         ctypes.c_char_p, ctypes.c_size_t]
+    lib.tl_stream_new.restype = ctypes.c_void_p
+    lib.tl_stream_new.argtypes = []
+    lib.tl_stream_free.restype = None
+    lib.tl_stream_free.argtypes = [ctypes.c_void_p]
+    lib.tl_stream_push.restype = ctypes.c_longlong
+    lib.tl_stream_push.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                   ctypes.c_size_t]
+    lib.tl_stream_pull.restype = ctypes.c_longlong
+    lib.tl_stream_pull.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                   ctypes.c_size_t]
+    lib.tl_stream_finish.restype = ctypes.c_longlong
+    lib.tl_stream_finish.argtypes = [ctypes.c_void_p]
 
 
 def decode_bytes(src: bytes) -> bytes:
@@ -99,6 +111,61 @@ def select_emit_fse(src: bytes, stream_rows) -> bytes:
     if n < 0:
         raise LzfseError(f"select_emit failed: {n}")
     return out.raw[:n]
+
+
+class StreamDecoder:
+    """Constant-memory incremental container decoder (native engine).
+
+    push(data) feeds compressed bytes and returns how many were consumed
+    (less than len(data) only under output backpressure — drain with pull).
+    pull(cap) returns up to cap decoded bytes (b"" when drained).
+    finish() validates that a complete container (through EOS) was consumed.
+
+    The native stream keeps O(1) state: one bounded FSE block carry plus a
+    1 MiB output ring (tpulzfse.cpp StreamDec; the reference counterpart is
+    ReaderCore::fill, src/decode/reader_core.rs:56-99).
+    """
+
+    def __init__(self):
+        import ctypes
+        self._ct = ctypes
+        self._lib = _lib()
+        if self._lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._h = self._lib.tl_stream_new()
+        self._buf = ctypes.create_string_buffer(1 << 16)
+
+    def push(self, data: bytes) -> int:
+        from ..base.errors import DecodeError
+        n = self._lib.tl_stream_push(self._h, data, len(data))
+        if n < 0:
+            raise DecodeError(f"stream decode failed: {n}")
+        return int(n)
+
+    def pull(self, cap: int | None = None) -> bytes:
+        from ..base.errors import DecodeError
+        cap = min(cap or (1 << 16), 1 << 16)
+        n = self._lib.tl_stream_pull(self._h, self._buf, cap)
+        if n < 0:
+            raise DecodeError(f"stream decode failed: {n}")
+        return self._buf.raw[:n]
+
+    def finish(self) -> None:
+        from ..base.errors import DecodeError
+        rc = self._lib.tl_stream_finish(self._h)
+        if rc != 0:
+            raise DecodeError(f"stream finish failed: {rc}")
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.tl_stream_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def rebuild(rows, literals: bytes, n_out: int) -> bytes:

@@ -594,6 +594,387 @@ static int64_t decode_container(const uint8_t* src, size_t n, uint8_t* dst, size
   return rc ? rc : (int64_t)out;
 }
 
+// ========================================================= STREAMING DECODE
+// Constant-memory decode of unbounded containers (the role of the
+// reference's ReaderCore::fill + ring output, src/decode/reader_core.rs:
+// 56-99,171-188 and src/ring/ring_lz_writer.rs:31-57). Redesigned for the
+// hybrid host/TPU runtime: instead of an input ring + retro-patched output
+// ring, we buffer at most one bounded FSE block (~121 KB by header
+// validation), decode its LMD rows up front (the sub-block suspend point —
+// the counterpart of FseCore::decode_n, src/fse/fse_core.rs:143-198 — is a
+// row-granular emission cursor), and emit through a 1 MiB power-of-two
+// output ring that always retains more history than the format's maximum
+// match distance (262139 < 2^18). LZVN opcodes and RAW bodies stream
+// through with O(1) carry, so total memory is O(1) for any input.
+
+constexpr size_t RING_LOG = 20, RING_SZ = (size_t)1 << RING_LOG;
+
+struct RingSink {
+  std::vector<uint8_t> buf;
+  uint64_t wpos = 0, rpos = 0;  // total produced / total drained
+  RingSink() : buf(RING_SZ) {}
+  size_t free_space() const { return RING_SZ - (size_t)(wpos - rpos); }
+  size_t pending() const { return (size_t)(wpos - rpos); }
+  // caller guarantees free_space() >= n. Writing at wpos only clobbers the
+  // byte RING_SZ back, which is always older than the max match distance.
+  void write(const uint8_t* p, size_t n) {
+    size_t o = (size_t)(wpos & (RING_SZ - 1));
+    size_t first = n < RING_SZ - o ? n : RING_SZ - o;
+    memcpy(&buf[o], p, first);
+    memcpy(&buf[0], p + first, n - first);
+    wpos += n;
+  }
+  void write_match(uint32_t m, uint32_t d) {  // d pre-validated by caller
+    while (m) {
+      size_t o = (size_t)(wpos & (RING_SZ - 1));
+      size_t s = (size_t)((wpos - d) & (RING_SZ - 1));
+      size_t run = m;
+      if (run > d) run = d;                       // overlap period
+      if (run > RING_SZ - o) run = RING_SZ - o;   // dst wrap
+      if (run > RING_SZ - s) run = RING_SZ - s;   // src wrap
+      memcpy(&buf[o], &buf[s], run);  // run <= d < RING/2: never aliases
+      wpos += run;
+      m -= (uint32_t)run;
+    }
+  }
+  size_t drain(uint8_t* dst, size_t cap) {
+    size_t n = pending() < cap ? pending() : cap;
+    size_t o = (size_t)(rpos & (RING_SZ - 1));
+    size_t first = n < RING_SZ - o ? n : RING_SZ - o;
+    memcpy(dst, &buf[o], first);
+    memcpy(dst + first, &buf[0], n - first);
+    rpos += n;
+    return n;
+  }
+};
+
+enum StreamState { S_MAGIC, S_FSE_EMIT, S_VN, S_RAW, S_DONE, S_ERR };
+
+struct StreamDec {
+  RingSink ring;
+  FseDecoder* fd = new FseDecoder();
+  // decoded LMD rows of the current FSE block (bounded by format caps)
+  std::vector<uint32_t> rl, rm, rdist;
+  uint32_t n_rows = 0, row = 0, lit_idx = 0, l_left = 0, m_left = 0,
+           cur_d = 0;
+  uint64_t blk_left = 0;                    // RAW bytes remaining
+  uint64_t vn_i = 0, vn_pay = 0, blk0 = 0;  // VN cursor / payload / start pos
+  uint32_t vn_raw = 0, vn_dist = 0;
+  std::vector<uint8_t> carry;
+  size_t carry_off = 0;
+  StreamState st = S_MAGIC;
+  int err = 0;
+  ~StreamDec() { delete fd; }
+
+  size_t carry_avail() const { return carry.size() - carry_off; }
+  void carry_compact() {
+    if (carry_off == carry.size()) { carry.clear(); carry_off = 0; }
+    else if (carry_off > (64 << 10)) {
+      carry.erase(carry.begin(), carry.begin() + carry_off);
+      carry_off = 0;
+    }
+  }
+  // move up to `want` total bytes of lookahead into the carry
+  void fill(size_t want, const uint8_t* p, size_t n, size_t* used) {
+    if (carry_avail() >= want) return;
+    size_t take = want - carry_avail();
+    if (take > n - *used) take = n - *used;
+    carry.insert(carry.end(), p + *used, p + *used + take);
+    *used += take;
+  }
+
+  // decode the LMD stream into rows with the exact check order of the
+  // one-shot path (decode_lmds_to), using a virtual produced-bytes counter
+  // so emission itself cannot fail later
+  int decode_rows(const uint8_t* payload, size_t n, const FseHeader& h) {
+    BitRd br;
+    if (!fd->make_reader(&br, payload, n, (int)h.lmd_bits)) return -E_BADBITS;
+    int sl = h.lmd_state[0], sm = h.lmd_state[1] + L_STATES,
+        sd = h.lmd_state[2] + L_STATES + M_STATES;
+    rl.resize(h.lmd_num); rm.resize(h.lmd_num); rdist.resize(h.lmd_num);
+    uint32_t li = 0, n_match = 0, dist = 0;
+    uint64_t produced = ring.wpos;
+    for (uint32_t i = 0; i < h.lmd_num; i++) {
+      br.flush();
+      const VEntry& el = fd->tabs.v[sl];
+      sl = (int)br.pull(el.k) + el.delta;
+      uint32_t l = el.vbase + br.pull(el.vbits);
+      const VEntry& em = fd->tabs.v[sm];
+      sm = (int)br.pull(em.k) + em.delta;
+      uint32_t m = em.vbase + br.pull(em.vbits);
+      const VEntry& ed = fd->tabs.v[sd];
+      sd = (int)br.pull(ed.k) + ed.delta;
+      uint32_t d = ed.vbase + br.pull(ed.vbits);
+      if (d) dist = d;
+      if (li + l > h.lit_num || li + l > LITERALS_PER_BLOCK) return -E_FSE;
+      produced += l;
+      li += l;
+      if (m) {
+        if (dist == 0 || (uint64_t)dist > produced) return -E_BADD;
+        n_match += m;
+        produced += m;
+      }
+      rl[i] = l; rm[i] = m; rdist[i] = dist;
+    }
+    if (!br.finalize()) return -E_UNDERFLOW;
+    if (sl != 0 || sm != L_STATES || sd != L_STATES + M_STATES) return -E_FSE;
+    if (li > h.lit_num || n_match + li != h.n_raw_bytes) return -E_FSE;
+    n_rows = h.lmd_num; row = 0; lit_idx = 0; l_left = 0; m_left = 0;
+    return 0;
+  }
+
+  // emit decoded rows into the ring as far as space allows; true = block done
+  bool emit_fse() {
+    for (;;) {
+      if (l_left == 0 && m_left == 0) {
+        if (row == n_rows) return true;
+        l_left = rl[row]; m_left = rm[row]; cur_d = rdist[row];
+        row++;
+      }
+      if (l_left) {
+        size_t c = ring.free_space();
+        if (c == 0) return false;
+        if (c > l_left) c = l_left;
+        ring.write(fd->literals + lit_idx, c);
+        lit_idx += (uint32_t)c;
+        l_left -= (uint32_t)c;
+        if (l_left) return false;
+      }
+      if (m_left) {
+        size_t c = ring.free_space();
+        if (c == 0) return false;
+        if (c > m_left) c = m_left;
+        ring.write_match((uint32_t)c, cur_d);
+        m_left -= (uint32_t)c;
+        if (m_left) return false;
+      }
+    }
+  }
+
+  // one LZVN opcode from the carry; 0 = emitted, 1 = need input,
+  // 2 = ring full, 3 = payload done, <0 error. Bounds follow decode_vn
+  // exactly, using the virtual payload cursor vn_i against vn_pay.
+  int vn_step() {
+    if (vn_pay - vn_i < 8) return -E_UNDERFLOW;  // decode_vn's i+8 bound
+    size_t need = vn_pay - vn_i;
+    if (need > 512) need = 512;
+    if (carry_avail() < need) return 1;
+    if (ring.free_space() < 600) return 2;
+    const uint8_t* p = carry.data() + carry_off;
+    size_t rem = vn_pay - vn_i;  // bytes of payload from vn_i to end
+    uint8_t op = p[0];
+    uint32_t l, m, d;
+    size_t c;
+    if (op >= 0xF0) {
+      if (op == 0xF0) { m = p[1] + 0x10u; c = 2; } else { m = op & 0xF; c = 1; }
+      if (vn_dist == 0 || (uint64_t)vn_dist > ring.wpos) return -E_BADD;
+      ring.write_match(m, vn_dist);
+      vn_i += c; carry_off += c;
+      return 0;
+    }
+    if (op >= 0xE0) {
+      if (op == 0xE0) { l = p[1] + 0x10u; c = 2; } else { l = op & 0xF; c = 1; }
+      if (c + l + 8 > rem) return -E_UNDERFLOW;
+      ring.write(p + c, l);
+      vn_i += c + l; carry_off += c + l;
+      return 0;
+    }
+    if ((op & 0xE0) == 0xA0) {
+      uint32_t opu = (uint32_t)p[0] | ((uint32_t)p[1] << 8)
+                     | ((uint32_t)p[2] << 16);
+      m = (((opu & 7) << 2) | ((opu >> 8) & 3)) + 3;
+      l = (opu >> 3) & 3;
+      d = (opu >> 10) & 0x3FFF;
+      c = 3;
+    } else if ((op >= 0x70 && op <= 0x7F) || (op >= 0xD0 && op <= 0xDF)) {
+      return -E_VN;
+    } else if ((op & 7) == 7) {
+      m = ((op >> 3) & 7) + 3;
+      l = (op >> 6) & 3;
+      d = (uint32_t)p[1] | ((uint32_t)p[2] << 8);
+      c = 3;
+    } else if ((op & 7) == 6) {
+      if (op == 0x06) {
+        if (memcmp(p, "\x06\x00\x00\x00\x00\x00\x00\x00", 8)) return -E_VN;
+        vn_i += 8; carry_off += 8;
+        if (vn_i != vn_pay) return vn_i < vn_pay ? -E_OVERFLOW : -E_UNDERFLOW;
+        if (ring.wpos - blk0 != vn_raw) return -E_VN;
+        return 3;
+      }
+      if (op == 0x0E || op == 0x16) { vn_i += 1; carry_off += 1; return 0; }
+      if (op == 0x1E || op == 0x26 || op == 0x2E || op == 0x36 || op == 0x3E)
+        return -E_VN;
+      m = ((op >> 3) & 7) + 3;
+      l = (op >> 6) & 3;
+      d = vn_dist;
+      c = 1;
+    } else {
+      m = ((op >> 3) & 7) + 3;
+      l = (op >> 6) & 3;
+      d = (((uint32_t)op & 7) << 8) | p[1];
+      c = 2;
+    }
+    if (c + l + 8 > rem) return -E_UNDERFLOW;
+    ring.write(p + c, l);
+    if (d == 0 || (uint64_t)d > ring.wpos) return -E_BADD;
+    ring.write_match(m, d);
+    vn_dist = d;
+    vn_i += c + l; carry_off += c + l;
+    return 0;
+  }
+
+  // Consume input / make progress. Returns bytes consumed; sets err on
+  // failure. Stops early only when blocked on output-ring space.
+  size_t push(const uint8_t* p, size_t n) {
+    size_t used = 0;
+    for (;;) {
+      if (st == S_ERR) return used;
+      if (st == S_DONE) {
+        if (used < n || carry_avail()) { err = -E_OVERFLOW; st = S_ERR; }
+        return used;
+      }
+      if (st == S_RAW) {
+        // drain any carry first, then stream directly from the input
+        while (blk_left) {
+          size_t space = ring.free_space();
+          if (space == 0) return used;
+          size_t c = carry_avail();
+          const uint8_t* src = carry.data() + carry_off;
+          bool from_carry = c > 0;
+          if (!from_carry) { c = n - used; src = p + used; }
+          if (c == 0) return used;
+          if (c > blk_left) c = (size_t)blk_left;
+          if (c > space) c = space;
+          ring.write(src, c);
+          blk_left -= c;
+          if (from_carry) carry_off += c; else used += c;
+        }
+        carry_compact();
+        st = S_MAGIC;
+        continue;
+      }
+      if (st == S_VN) {
+        int rc = vn_step();
+        if (rc == 0) continue;
+        if (rc == 1) {
+          size_t want = vn_pay - vn_i;
+          if (want > 512) want = 512;
+          size_t before = carry_avail();
+          fill(want, p, n, &used);
+          if (carry_avail() == before) return used;  // out of input
+          continue;
+        }
+        if (rc == 2) return used;  // ring full
+        if (rc == 3) { carry_compact(); st = S_MAGIC; continue; }
+        err = rc; st = S_ERR;
+        return used;
+      }
+      if (st == S_FSE_EMIT) {
+        if (!emit_fse()) return used;  // ring full
+        st = S_MAGIC;
+        continue;
+      }
+      // S_MAGIC: need a block header (bounded lookahead via carry)
+      fill(4, p, n, &used);
+      if (carry_avail() < 4) return used;
+      const uint8_t* hp = carry.data() + carry_off;
+      uint32_t magic = rd32(hp);
+      if (magic == MAGIC_EOS) {
+        carry_off += 4;
+        carry_compact();
+        st = S_DONE;
+        continue;
+      }
+      if (magic == MAGIC_RAW) {
+        fill(8, p, n, &used);
+        if (carry_avail() < 8) return used;
+        blk_left = rd32(carry.data() + carry_off + 4);
+        carry_off += 8;
+        st = S_RAW;
+        continue;
+      }
+      if (magic == MAGIC_VXN) {
+        fill(12, p, n, &used);
+        if (carry_avail() < 12) return used;
+        vn_raw = rd32(carry.data() + carry_off + 4);
+        vn_pay = rd32(carry.data() + carry_off + 8);
+        carry_off += 12;
+        vn_i = 0; blk0 = ring.wpos;
+        st = S_VN;
+        continue;
+      }
+      if (magic == MAGIC_VX2 || magic == MAGIC_VX1) {
+        size_t header = magic == MAGIC_VX2 ? (size_t)V2_HEADER
+                                           : (size_t)V1_HEADER;
+        fill(header, p, n, &used);
+        if (carry_avail() < header) return used;
+        FseHeader h;
+        uint32_t n_weights;
+        hp = carry.data() + carry_off;
+        if (magic == MAGIC_VX2) {
+          parse_v2_header(hp, &h, &n_weights);
+          if (n_weights > (uint32_t)V2_WEIGHTS_MAX) {
+            err = -E_FSE; st = S_ERR; return used;
+          }
+        } else {
+          int rc = parse_v1_header(hp, &h);
+          if (rc) { err = rc; st = S_ERR; return used; }
+          n_weights = V1_WEIGHTS;
+        }
+        if (!validate_header(h)) { err = -E_FSE; st = S_ERR; return used; }
+        size_t total = header + n_weights + h.lit_pay + h.lmd_pay;
+        fill(total, p, n, &used);
+        if (carry_avail() < total) return used;
+        hp = carry.data() + carry_off;
+        int rc;
+        if (magic == MAGIC_VX2) {
+          rc = load_weights_v2(hp + header, n_weights, fd->weights);
+          if (rc) { err = rc; st = S_ERR; return used; }
+        } else {
+          for (int i = 0; i < N_WEIGHTS; i++)
+            fd->weights[i] = rd16(hp + header + 2 * i);
+        }
+        if (!check_totals(fd->weights)) { err = -E_FSE; st = S_ERR; return used; }
+        fd->tabs.init(fd->weights);
+        rc = fd->decode_literals(hp + header + n_weights - 8, h.lit_pay + 8, h);
+        if (rc) { err = rc; st = S_ERR; return used; }
+        rc = decode_rows(hp + header + n_weights + h.lit_pay, h.lmd_pay, h);
+        if (rc) { err = rc; st = S_ERR; return used; }
+        carry_off += total;
+        carry_compact();
+        st = S_FSE_EMIT;
+        continue;
+      }
+      err = -E_BADBLOCK;
+      st = S_ERR;
+      return used;
+    }
+  }
+
+  int64_t pull(uint8_t* dst, size_t cap) {
+    size_t out = 0;
+    for (;;) {
+      out += ring.drain(dst + out, cap - out);
+      if (out == cap) break;
+      // input-free progress: resume a suspended emission
+      if (st == S_FSE_EMIT || st == S_RAW || st == S_VN) {
+        uint64_t before = ring.wpos;
+        push(nullptr, 0);
+        if (ring.wpos != before) continue;
+      }
+      break;
+    }
+    if (out == 0 && st == S_ERR) return err;
+    return (int64_t)out;
+  }
+
+  int finish() const {
+    if (st == S_ERR) return err;
+    if (st != S_DONE || carry_avail()) return -E_UNDERFLOW;
+    return 0;
+  }
+};
+
 // probe: decode size without decompressing (src/decode/probe.rs)
 static int64_t probe_container(const uint8_t* src, size_t n) {
   size_t pos = 0;
@@ -1120,5 +1501,27 @@ long long tl_rebuild(const int* rows, size_t n_rows, const char* lits_c,
   }
   return (long long)sink.len;
 }
+
+// Streaming decode handles (reference pull/push streaming object roles:
+// LzfseRingDecoder / LzfseReader, src/decode/reader.rs + reader_core.rs).
+// push returns bytes consumed (may be < n only under output backpressure);
+// pull returns bytes produced; finish returns 0 once EOS was consumed with
+// no trailing garbage. Memory per stream is O(1) in the input size.
+void* tl_stream_new() { return new StreamDec(); }
+
+void tl_stream_free(void* h) { delete (StreamDec*)h; }
+
+long long tl_stream_push(void* h, const char* p, size_t n) {
+  StreamDec* s = (StreamDec*)h;
+  size_t used = s->push((const uint8_t*)p, n);
+  if (s->st == S_ERR && used == 0) return s->err;
+  return (long long)used;
+}
+
+long long tl_stream_pull(void* h, char* dst, size_t cap) {
+  return ((StreamDec*)h)->pull((uint8_t*)dst, cap);
+}
+
+long long tl_stream_finish(void* h) { return ((StreamDec*)h)->finish(); }
 
 }  // extern "C"
