@@ -57,12 +57,15 @@ class BitReader:
         return (window >> (pos & 7)) & ((1 << n_bits) - 1)
 
     def finalize(self) -> None:
-        """Validate that the reader never consumed below the 8-byte pad.
+        """Validate that the reader never consumed into the 8-byte pad.
 
-        Mirrors BitReader::finalize (bit_reader.rs:65-71): after the final
-        flush the remaining bits must be >= 64 (i.e. only pad remains).
-        """
-        if self._pos < 64:
+        Mirrors BitReader::finalize (bit_reader.rs:65-71): >= 64 bits must
+        remain above the source base. The payload handed to this reader
+        always carries its 8-byte pad/borrow prefix (LMD payloads are padded
+        by format; literal payloads borrow the preceding container bytes —
+        fse_core.rs:32), so in our coordinates (64 scratch bits + payload)
+        the reader must stop at or above bit 128."""
+        if self._pos < 128:
             raise PayloadUnderflow("bitstream underflow")
 
 

@@ -30,6 +30,27 @@ import pytest
 REFERENCE_DATA = pathlib.Path("/root/reference/data")
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run the slow tier: dense mutation batteries, huge-stream "
+             "constant-memory process tests, exhaustive sweeps")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: slow-tier test (runs only with --runslow)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def snappy_dir() -> pathlib.Path:
     return REFERENCE_DATA / "snappy"

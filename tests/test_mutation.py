@@ -3,7 +3,8 @@
 Bit-flips over canonical fixtures of every block type, through the spec
 decoder: every mutation must either decode (flips in don't-care bits) or
 raise a typed DecodeError — never crash, hang, or produce unchecked state.
-A denser battery (every position) runs under --runslow; the default samples.
+The dense battery (every position x all 8 bits, cross-engine decision
+parity) runs under --runslow; the default samples positions.
 """
 
 import pathlib
@@ -27,6 +28,43 @@ def battery(data: bytes, positions, bits=(0, 3, 7)):
                 n_err += 1
             data[i] ^= 1 << bit
     return n_ok, n_err
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["raw", "vxn", "vx1", "vx2"])
+def test_bit_flip_every_position_dense(mutate_dir, name):
+    """Dense battery: every byte position, all 8 bits (mutate_0.rs:24-71).
+
+    Runs through the native engine for speed with decision parity against
+    the spec oracle on a deterministic subsample: identical accept/reject
+    outcome and identical bytes on accept.
+    """
+    from lzfse_rust_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime not built")
+    data = bytearray((mutate_dir / f"{name}.lzfse").read_bytes())
+    n_err = 0
+    for i in range(len(data)):
+        for bit in range(8):
+            data[i] ^= 1 << bit
+            mutated = bytes(data)
+            try:
+                out_n = native.decode_bytes(mutated)
+            except DecodeError:
+                out_n = None
+                n_err += 1
+            if (i * 8 + bit) % 17 == 0:  # cross-engine decision parity
+                try:
+                    out_s = spec.decode_bytes(mutated)
+                except DecodeError:
+                    out_s = None
+                assert (out_n is None) == (out_s is None), \
+                    f"{name}@{i}.{bit}: native/spec disagree"
+                if out_n is not None:
+                    assert out_n == out_s, f"{name}@{i}.{bit}: bytes differ"
+            data[i] ^= 1 << bit
+    assert n_err > 0
 
 
 @pytest.mark.parametrize("name", ["raw", "vxn", "vx1", "vx2"])

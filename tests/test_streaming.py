@@ -10,8 +10,10 @@ import io
 import pathlib
 import subprocess
 import sys
+import threading
 
 import numpy as np
+import pytest
 
 import lzfse_rust_tpu as lz
 
@@ -62,6 +64,191 @@ def test_cli_two_process_pipe():
         capture_output=True, check=True).stdout
     assert hashlib.sha256(dec).digest() == hashlib.sha256(data).digest()
     assert len(enc) < len(data) // 2  # stream is compressible
+
+
+def _stream_decoders():
+    """Every available incremental decoder implementation."""
+    from lzfse_rust_tpu.spec.streaming import SpecStreamDecoder
+    out = [("spec", SpecStreamDecoder)]
+    from lzfse_rust_tpu.runtime import native
+    if native.available():
+        out.append(("native", native.StreamDecoder))
+    return out
+
+
+def _stream_decode(mk, src: bytes, chunk: int) -> bytes:
+    dec = mk()
+    out = bytearray()
+    i = 0
+    while i < len(src):
+        piece = src[i:i + chunk]
+        used = dec.push(piece)
+        i += used
+        while True:
+            got = dec.pull()
+            if not got:
+                break
+            out += got
+    while True:
+        got = dec.pull()
+        if not got:
+            break
+        out += got
+    dec.finish()
+    return bytes(out)
+
+
+def test_incremental_stream_decoders_match_oneshot(snappy_dir, mutate_dir,
+                                                   special_dir):
+    """Every incremental engine, odd chunk sizes, vs one-shot decode; error
+    parity on invalid fixtures (reader_core.rs fill-loop semantics)."""
+    files = (sorted(snappy_dir.glob("*.lzfse"))[:4]
+             + sorted(mutate_dir.glob("*.lzfse"))
+             + sorted(special_dir.glob("*.lzfse")))
+    for name, mk in _stream_decoders():
+        for p in files:
+            src = p.read_bytes()
+            try:
+                want = lz.decode_bytes(src)
+            except Exception:
+                want = None
+            for chunk in (997, 1 << 16):
+                if want is None:
+                    try:
+                        _stream_decode(mk, src, chunk)
+                        raise AssertionError(
+                            f"{name}:{p.name} stream missed the error")
+                    except AssertionError:
+                        raise
+                    except Exception:
+                        pass  # error parity
+                else:
+                    got = _stream_decode(mk, src, chunk)
+                    assert got == want, f"{name}:{p.name} chunk={chunk}"
+
+
+def test_stream_decoder_truncation_and_trailing():
+    data = gen_stream(200_000, seed=5)
+    enc = lz.encode_bytes(data)
+    for name, mk in _stream_decoders():
+        # truncated: finish() must fail
+        dec = mk()
+        dec.push(enc[:len(enc) - 7])
+        while dec.pull():
+            pass
+        try:
+            dec.finish()
+            raise AssertionError(f"{name}: truncation not detected")
+        except AssertionError:
+            raise
+        except Exception:
+            pass
+        # trailing garbage after EOS must fail
+        try:
+            _stream_decode(mk, enc + b"xyzw", 4096)
+            raise AssertionError(f"{name}: trailing bytes not detected")
+        except AssertionError:
+            raise
+        except Exception:
+            pass
+
+
+def test_reader_is_incremental():
+    """The pull reader must not decode ahead of demand: after reading one
+    byte of a multi-block container, most of the input must be unconsumed
+    (the reference's block-granular ReaderCore pull contract)."""
+
+    class CountingIO(io.BytesIO):
+        def __init__(self, data):
+            super().__init__(data)
+            self.consumed = 0
+
+        def read(self, n=-1):
+            out = super().read(n)
+            self.consumed += len(out)
+            return out
+
+    data = gen_stream(3 * 0x80000)
+    enc = lz.encode_bytes(data)
+    src = CountingIO(enc)
+    r = lz.LzfseRingDecoder().reader(src)
+    first = r.read(1)
+    assert first == data[:1]
+    # one 64KB io chunk (plus one) is the most the reader may have pulled in
+    assert src.consumed <= 2 * 65536, (
+        f"reader consumed {src.consumed} of {len(enc)} bytes for a 1-byte read")
+
+
+_RSS_CHILD = r"""
+import resource, sys, hashlib
+sys.path.insert(0, sys.argv[1])
+from lzfse_rust_tpu.cli import main
+main(sys.argv[2:])
+rss_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+sys.stderr.write(f"PEAK_RSS_KB {rss_kb}\n")
+"""
+
+
+@pytest.mark.slow
+def test_huge_stream_constant_memory():
+    """4.3 GB generated stream through encode and decode lzfoo processes;
+    both must hold peak RSS under 192 MB (huge.rs:19-83 analog — the
+    reference decodes 64 GB in 512 KB of state; our bound covers the
+    Python interpreter + numpy + the O(1) native stream)."""
+    total = 4_300_000_000
+    # compressible deterministic block, mutated per-tile so windows differ
+    rng = np.random.default_rng(11)
+    words = gen_stream(1 << 20, seed=23)
+    tile = bytearray(words)
+
+    enc_p = subprocess.Popen(
+        [sys.executable, "-c", _RSS_CHILD, str(REPO), "-encode"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE)
+    dec_p = subprocess.Popen(
+        [sys.executable, "-c", _RSS_CHILD, str(REPO), "-decode"],
+        stdin=enc_p.stdout, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE)
+    enc_p.stdout.close()
+
+    h_in = hashlib.sha256()
+    h_out = hashlib.sha256()
+    n_out = 0
+    done = threading.Event()
+
+    def drain():
+        nonlocal n_out
+        while True:
+            chunk = dec_p.stdout.read(1 << 20)
+            if not chunk:
+                break
+            h_out.update(chunk)
+            n_out += len(chunk)
+        done.set()
+
+    t = threading.Thread(target=drain)
+    t.start()
+    sent = 0
+    i = 0
+    while sent < total:
+        tile[i % len(tile)] = int(rng.integers(0, 256))
+        chunk = bytes(tile[:min(len(tile), total - sent)])
+        enc_p.stdin.write(chunk)
+        h_in.update(chunk)
+        sent += len(chunk)
+        i += 1
+    enc_p.stdin.close()
+    t.join(timeout=600)
+    assert done.is_set(), "decode pipeline stalled"
+    enc_err = enc_p.stderr.read().decode()
+    dec_err = dec_p.stderr.read().decode()
+    assert enc_p.wait() == 0 and dec_p.wait() == 0
+
+    assert n_out == total
+    assert h_out.digest() == h_in.digest()
+    for name, err in (("encode", enc_err), ("decode", dec_err)):
+        rss_kb = int(err.rsplit("PEAK_RSS_KB", 1)[1].split()[0])
+        assert rss_kb < 192 * 1024, f"{name} peak RSS {rss_kb} KB"
 
 
 def test_fuzzed_read_write_boundaries():
