@@ -32,11 +32,27 @@ def _native():
 
 
 def encode_bytes(src: bytes) -> bytes:
-    """One-shot buffer encode (reference: src/encode/mod.rs:58)."""
-    if len(src) > 0x7FFFFFFF:
-        raise NotImplementedError(
-            ">2GB single-buffer inputs (BLOCK_GUIDE windowing) are not yet "
-            "supported; use the streaming engine")
+    """One-shot buffer encode (reference: src/encode/mod.rs:58).
+
+    Inputs beyond the 32-bit index range route through the sliding-window
+    stream engine — the role of the reference's BLOCK_GUIDE windowing + index
+    rebias (frontend_bytes.rs:346-375): window-local coordinates stay small
+    while matches keep the full 262139-byte reach across window seams.
+    """
+    if len(src) > 0x7FFFF000:
+        enc = _new_stream_encoder()
+        out = []
+        mv = memoryview(src)
+        for i in range(0, len(src), _IO_CHUNK):
+            enc.push(bytes(mv[i:i + _IO_CHUNK]))
+            out.append(enc.pull())
+        enc.finish()
+        while True:
+            got = enc.pull()
+            if not got:
+                break
+            out.append(got)
+        return b"".join(out)
     n = _native()
     if n is not None:
         return n.encode_bytes(src)
@@ -99,13 +115,59 @@ class LzfseDecoder:
         return decode_bytes(src)
 
 
-class LzfseRingEncoder:
-    """Streaming encoder over IO objects (reference: LzfseRingEncoder).
+def _new_stream_encoder():
+    """Incremental encoder: the native sliding-window engine when built
+    (matches cross chunk boundaries up to the 262139-byte Goldilocks reach,
+    frontend_ring.rs:44-106), else a window-chunked spec fallback whose
+    matches are confined to each 512 KB window."""
+    n = _native()
+    if n is not None:
+        return n.StreamEncoder()
+    return _SpecStreamEncoder()
 
-    Reads `reader` to EOF in windows, emitting an independent chunk stream:
-    matches are confined to each window, so memory stays bounded for
-    arbitrarily large streams. Returns (n_raw_bytes, n_payload_bytes), the
-    byte accounting contract of ring_encoder.rs:55-67.
+
+class _SpecStreamEncoder:
+    """Window-chunked fallback with the same push/pull/finish protocol."""
+
+    def __init__(self):
+        self._buf = bytearray()
+        self._out = bytearray()
+        self._finished = False
+
+    def push(self, data: bytes) -> int:
+        self._buf += data
+        while len(self._buf) >= STREAM_CHUNK:
+            window = bytes(self._buf[:STREAM_CHUNK])
+            del self._buf[:STREAM_CHUNK]
+            self._out += _encode_chunk_body(window)
+        return len(data)
+
+    def pull(self, cap: int | None = None) -> bytes:
+        n = len(self._out) if cap is None else min(cap, len(self._out))
+        out = bytes(self._out[:n])
+        del self._out[:n]
+        return out
+
+    def finish(self) -> None:
+        from .base import constants as C
+        if self._finished:
+            return
+        if self._buf:
+            self._out += _encode_chunk_body(bytes(self._buf))
+            self._buf.clear()
+        self._out += C.MAGIC_EOS.to_bytes(4, "little")
+        self._finished = True
+
+
+class LzfseRingEncoder:
+    """Streaming encoder over IO objects (reference: LzfseRingEncoder,
+    src/encode/ring_encoder.rs).
+
+    Reads `reader` to EOF, encoding incrementally in constant memory.
+    With the native engine, matches reach back up to the format's maximum
+    distance across chunk boundaries and FSE blocks span chunks — the ring
+    encoder's Goldilocks matching. Returns (n_raw_bytes, n_payload_bytes),
+    the byte accounting contract of ring_encoder.rs:55-67.
     """
 
     def writer(self, inner: BinaryIO) -> "LzfseWriter":
@@ -117,31 +179,29 @@ class LzfseRingEncoder:
         return LzfseWriterBytes()
 
     def encode(self, reader: BinaryIO, writer: BinaryIO) -> tuple[int, int]:
-        from .base import constants as C
+        enc = _new_stream_encoder()
         n_raw = 0
         n_payload = 0
-        first = True
-        pending = b""
         while True:
-            chunk = reader.read(STREAM_CHUNK)
-            if not chunk and not first and not pending:
-                break
-            data = pending + chunk
-            pending = b""
-            if not data and first:
-                out = _spec_frontend.encode_bytes(b"")
-                writer.write(out)
-                return 0, len(out)
-            first = False
-            body = _encode_chunk_body(data)
-            writer.write(body)
-            n_raw += len(data)
-            n_payload += len(body)
+            chunk = reader.read(_IO_CHUNK)
             if not chunk:
                 break
-        eos = C.MAGIC_EOS.to_bytes(4, "little")
-        writer.write(eos)
-        return n_raw, n_payload + 4
+            n_raw += len(chunk)
+            enc.push(chunk)
+            while True:
+                out = enc.pull()
+                if not out:
+                    break
+                writer.write(out)
+                n_payload += len(out)
+        enc.finish()
+        while True:
+            out = enc.pull()
+            if not out:
+                break
+            writer.write(out)
+            n_payload += len(out)
+        return n_raw, n_payload
 
 
 def _encode_chunk_body(data: bytes) -> bytes:
@@ -213,34 +273,36 @@ class LzfseRingDecoder:
 class LzfseWriter(io.RawIOBase):
     """Push-style compressing writer (reference: LzfseWriter, writer.rs:39-75).
 
-    Bytes written are buffered into stream windows and compressed on the fly;
-    `close()` finalizes the container with the EOS magic.
+    Bytes written stream through the incremental encoder (cross-chunk
+    Goldilocks matching on the native engine); `close()` flushes the final
+    block and the EOS magic.
     """
 
     def __init__(self, inner: BinaryIO):
         super().__init__()
         self._inner = inner
-        self._buf = bytearray()
+        self._enc = _new_stream_encoder()
         self._finalized = False
 
     def writable(self) -> bool:
         return True
 
+    def _drain(self) -> None:
+        while True:
+            out = self._enc.pull()
+            if not out:
+                break
+            self._inner.write(out)
+
     def write(self, data) -> int:
-        self._buf += bytes(data)
-        while len(self._buf) >= STREAM_CHUNK:
-            window = bytes(self._buf[:STREAM_CHUNK])
-            del self._buf[:STREAM_CHUNK]
-            self._inner.write(_encode_chunk_body(window))
+        self._enc.push(bytes(data))
+        self._drain()
         return len(data)
 
     def close(self) -> None:
         if not self._finalized:
-            from .base import constants as C
-            if self._buf:
-                self._inner.write(_encode_chunk_body(bytes(self._buf)))
-                self._buf.clear()
-            self._inner.write(C.MAGIC_EOS.to_bytes(4, "little"))
+            self._enc.finish()
+            self._drain()
             self._finalized = True
         super().close()
 

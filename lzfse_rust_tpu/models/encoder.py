@@ -10,9 +10,15 @@ Division of labor:
           (spec/frontend.py), preserving the reference's exact semantics —
           output is byte-identical to the scalar encoder's.
 
-Inputs above WINDOW_CAP are chunked into independent match windows (the
-streaming-engine semantics: matches confined to a window), keeping device
-memory bounded; each window's blocks concatenate in order.
+Inputs above the device window size stream through overlapping windows:
+each window carries a 262144-byte history context, which makes the
+candidate sets EXACT — a history-table FIFO walk stops at the first
+out-of-reach entry (dist > 262139), so probes only ever depend on the last
+max_d+3 bytes (the decision-independence argument, spec/match_find.py).
+Window-truncated LCPs are re-extended on the full buffer before
+arbitration, and one selection+emission pass runs over the concatenated
+absolute-coordinate match stream — so the output is byte-identical to the
+one-shot scalar encoders at EVERY input size.
 """
 
 from __future__ import annotations
@@ -30,6 +36,13 @@ from ..spec.match_find import MatchStream
 # the LCP extension, since replaced by a bounded fori_loop.)
 WINDOW_N = 1 << 20
 WINDOW_CAP = WINDOW_N - 128
+# history context carried into each window after the first: covers the
+# format's maximum match distance (262139) plus probe width, so candidate
+# generation inside the payload region is exact (see module docstring).
+# Each chunk also carries a 3-byte overhang past its payload so every
+# payload position has its 4-byte probe value in-window.
+WINDOW_CTX = 1 << 18
+WINDOW_STRIDE = WINDOW_CAP - WINDOW_CTX - 3
 
 
 def _bucket_pow2(x: int, lo: int = 4096) -> int:
@@ -44,36 +57,57 @@ class TpuEncoder:
         import jax.numpy as jnp
         self._jnp = jnp
 
-    def _device_matches(self, chunk: bytes, vn: bool) -> MatchStream:
-        import jax.numpy as jnp
-        from ..ops.match_find_tpu import find_matches_device
+    def _window_matches(self, full: np.ndarray, start: int, vn: bool):
+        """Exact absolute-coordinate match rows for src[start : start+stride].
 
+        The device probes [start-ctx, start+stride); rows below `start` are
+        context-only (their pushes shape the candidate FIFOs, their probes
+        are discarded). Window-truncated forward LCPs are re-extended on the
+        full buffer BEFORE the FIFO strict-`>` arbitration, so candidate
+        choice matches the one-shot scan exactly.
+        """
+        import jax.numpy as jnp
+        from ..ops.match_find_tpu import WINDOW, find_matches_device
+        from ..spec.match_find import _lcp_forward
+
+        n_full = len(full)
+        ctx = min(start, WINDOW_CTX)
+        base = start - ctx
+        chunk = full[base:start + WINDOW_STRIDE + 3]
         n = len(chunk)
         N = min(_bucket_pow2(n + 128), WINDOW_N)
         assert n + 128 <= N
         src_pad = np.zeros(N, dtype=np.uint8)
-        src_pad[:n] = np.frombuffer(chunk, dtype=np.uint8)
+        src_pad[:n] = chunk
         pos, cands, lcps = find_matches_device(
             jnp.asarray(src_pad), jnp.int32(n), vn)
         pos = np.asarray(pos).astype(np.int64)
         cands = np.asarray(cands).astype(np.int64)
         lcps = np.asarray(lcps).astype(np.int64)
-        src_arr = src_pad[:n]
-        from ..ops.match_find_tpu import WINDOW
-        from ..spec.match_find import _lcp_backward, _lcp_forward
 
-        # Finish window-saturated LCPs exactly, then arbitrate with the
-        # reference's FIFO strict-`>` rule over the 4 recency levels.
+        # only payload-region probes count; context and overhang probes are
+        # discarded (the overhang belongs to the next window's payload)
+        payload = (pos >= ctx) & (pos < ctx + WINDOW_STRIDE)
+        pos = pos[payload]
+        cands = cands[:, payload]
+        lcps = lcps[:, payload]
+        abs_pos = pos + base
+
         best_len = np.zeros(len(pos), np.int64)
         best_cand = np.zeros(len(pos), np.int64)
         for r in range(cands.shape[0]):
             cand_r, lcp_r = cands[r], lcps[r]
-            sat = np.flatnonzero((lcp_r == WINDOW) & (cand_r >= 0)
-                                 & (pos + WINDOW < n))
+            abs_cand = cand_r + base
+            # a device LCP is truncated if it hit the 64-byte row gather
+            # window OR the chunk end; both re-extend against the full
+            # buffer with the block-end cap (frontend_bytes.rs:253)
+            sat = np.flatnonzero(
+                (cand_r >= 0) & (abs_pos + lcp_r < n_full)
+                & ((lcp_r == WINDOW) | (pos + lcp_r >= n)))
             if len(sat):
                 lcp_r[sat] = _lcp_forward(
-                    src_arr, pos[sat], cand_r[sat], lcp_r[sat],
-                    (n - pos[sat]).astype(np.int64))
+                    full, abs_pos[sat], abs_cand[sat], lcp_r[sat],
+                    (n_full - abs_pos[sat]).astype(np.int64))
             if vn:
                 mlen = np.where(lcp_r >= 4, lcp_r,
                                 np.where(lcp_r == 3, 3, 0))
@@ -82,11 +116,22 @@ class TpuEncoder:
             mlen = np.where(cand_r >= 0, mlen, 0)
             take = mlen > best_len
             best_len[take] = mlen[take]
-            best_cand[take] = cand_r[take]
+            best_cand[take] = abs_cand[take]
 
         keep = best_len > 0
-        pos_k, cand_k, fwd_k = pos[keep], best_cand[keep], best_len[keep]
-        back_k = _lcp_backward(src_arr, pos_k, cand_k,
+        return abs_pos[keep], best_cand[keep], best_len[keep]
+
+    def _device_matches(self, src: bytes, vn: bool) -> MatchStream:
+        """Full-buffer match stream via overlapping device windows."""
+        from ..spec.match_find import _lcp_backward
+
+        full = np.frombuffer(src, dtype=np.uint8)
+        parts = [self._window_matches(full, s, vn)
+                 for s in range(0, len(src), WINDOW_STRIDE)]
+        pos_k = np.concatenate([p for p, _, _ in parts])
+        cand_k = np.concatenate([c for _, c, _ in parts])
+        fwd_k = np.concatenate([f for _, _, f in parts])
+        back_k = _lcp_backward(full, pos_k, cand_k,
                                np.minimum(cand_k, pos_k))
         order = np.argsort(pos_k, kind="stable")
         return MatchStream(
@@ -98,16 +143,9 @@ class TpuEncoder:
         if len(src) <= C.VN_CUTOFF:
             # small inputs: LZVN/raw host paths (blocks <= 4 KiB by design)
             return FE.encode_bytes(src)
-        chunks = [src[i:i + WINDOW_CAP] for i in range(0, len(src), WINDOW_CAP)]
-        out = []
-        for chunk in chunks:
-            if len(chunk) <= C.VN_CUTOFF:
-                body = FE.encode_bytes(chunk)[:-4]  # strip EOS
-                out.append(body)
-                continue
-            stream = self._device_matches(chunk, vn=False)
-            out.append(self._select_emit(chunk, stream))
-        return b"".join(out) + C.MAGIC_EOS.to_bytes(4, "little")
+        stream = self._device_matches(src, vn=False)
+        body = self._select_emit(src, stream)
+        return body + C.MAGIC_EOS.to_bytes(4, "little")
 
     def _select_emit(self, chunk: bytes, stream: MatchStream) -> bytes:
         """Selection scan + block emission (native fast path, spec fallback).

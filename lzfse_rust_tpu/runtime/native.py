@@ -61,6 +61,18 @@ def _configure(lib) -> None:
                                    ctypes.c_size_t]
     lib.tl_stream_finish.restype = ctypes.c_longlong
     lib.tl_stream_finish.argtypes = [ctypes.c_void_p]
+    lib.tl_enc_new.restype = ctypes.c_void_p
+    lib.tl_enc_new.argtypes = []
+    lib.tl_enc_free.restype = None
+    lib.tl_enc_free.argtypes = [ctypes.c_void_p]
+    lib.tl_enc_push.restype = ctypes.c_longlong
+    lib.tl_enc_push.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                ctypes.c_size_t]
+    lib.tl_enc_finish.restype = ctypes.c_longlong
+    lib.tl_enc_finish.argtypes = [ctypes.c_void_p]
+    lib.tl_enc_drain.restype = ctypes.c_longlong
+    lib.tl_enc_drain.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                 ctypes.c_size_t]
 
 
 def decode_bytes(src: bytes) -> bytes:
@@ -159,6 +171,51 @@ class StreamDecoder:
     def close(self) -> None:
         if self._h:
             self._lib.tl_stream_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class StreamEncoder:
+    """Sliding-window incremental encoder (native engine).
+
+    Matches reach the format's maximum distance (262139 bytes) back across
+    chunk boundaries — the reference ring encoder's Goldilocks semantics
+    (src/encode/frontend_ring.rs:44-106) — and FSE blocks span chunk
+    boundaries. Memory is O(window + one block). Drain with pull() between
+    pushes; finish() flushes the final block and the EOS magic.
+    """
+
+    def __init__(self):
+        import ctypes
+        self._lib = _lib()
+        if self._lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._h = self._lib.tl_enc_new()
+        self._buf = ctypes.create_string_buffer(1 << 18)
+
+    def push(self, data: bytes) -> int:
+        from ..base.errors import LzfseError
+        n = self._lib.tl_enc_push(self._h, data, len(data))
+        if n < 0:
+            raise LzfseError(f"stream encode failed: {n}")
+        return int(n)
+
+    def pull(self, cap: int | None = None) -> bytes:
+        cap = min(cap or (1 << 18), 1 << 18)
+        n = self._lib.tl_enc_drain(self._h, self._buf, cap)
+        return self._buf.raw[:n] if n > 0 else b""
+
+    def finish(self) -> None:
+        self._lib.tl_enc_finish(self._h)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.tl_enc_free(self._h)
             self._h = None
 
     def __del__(self):

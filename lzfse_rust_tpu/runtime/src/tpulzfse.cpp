@@ -1361,6 +1361,112 @@ static void run_frontend(const uint8_t* src, size_t n, Backend& backend) {
   backend.finalize();
 }
 
+// ======================================================= STREAMING ENCODE
+// Sliding-window ring encode (the reference's frontend_ring Goldilocks
+// semantics, src/encode/frontend_ring.rs:44-106,359-397): matches may reach
+// up to the format's maximum distance (262139) back across chunk
+// boundaries. Redesign: instead of a literal input ring with split-probe
+// logic, each processing step re-runs the one-shot frontend over
+// [history | new chunk] and a clipping backend drops everything below the
+// emission base — straddling literal runs keep their suffix, straddling
+// matches keep their tail (same distance; remnants under 4 bytes are
+// literalized). The FseBackend persists across chunks, so blocks fill and
+// span chunk boundaries exactly as a continuous encode would. The history
+// re-scan costs ~1.5x frontend work for 512 KB chunks; probes are exact
+// because a history-table FIFO walk breaks at the first out-of-reach entry,
+// so candidates only ever depend on the last max_d+3 bytes.
+
+constexpr size_t ENC_HIST = (size_t)MAX_D + 5;     // > max distance + probe
+constexpr size_t ENC_CHUNK = (size_t)512 << 10;    // processing granule
+
+struct ClipFseBackend {
+  FseBackend* inner;
+  const uint8_t* src = nullptr;
+  uint64_t base = 0, cursor = 0;
+
+  void unit(const uint8_t* lit, size_t lit_len, uint32_t m, uint32_t d) {
+    uint64_t end = cursor + lit_len + m;
+    if (end <= base) { cursor = end; return; }
+    if (cursor >= base) {
+      if (m) inner->push_match(lit, lit_len, m, d);
+      else inner->push_literals(lit, lit_len);
+    } else {
+      uint64_t skip = base - cursor;
+      if (skip < lit_len) {  // literals straddle: keep suffix
+        if (m) inner->push_match(lit + skip, lit_len - skip, m, d);
+        else inner->push_literals(lit + skip, lit_len - skip);
+      } else {               // match straddles: keep the tail
+        uint32_t mk = (uint32_t)(end - base);
+        if (mk >= 4) inner->push_match(lit, 0, mk, d);
+        else inner->push_literals(src + base, mk);
+      }
+    }
+    cursor = end;
+  }
+  void push_match(const uint8_t* lit, size_t n, uint32_t m, uint32_t d) {
+    unit(lit, n, m, d);
+  }
+  void push_literals(const uint8_t* lit, size_t n) { unit(lit, n, 0, 1); }
+  void finalize() {}  // block flush is the stream's finish decision
+};
+
+struct StreamEnc {
+  FseBackend* fb = new FseBackend();
+  std::vector<uint8_t> out;     // emitted container bytes awaiting drain
+  size_t out_off = 0;
+  std::vector<uint8_t> window;  // history + pending input
+  size_t processed = 0;         // prefix of `window` already emitted
+  uint64_t n_raw = 0;
+  bool finished = false;
+
+  StreamEnc() { fb->out = &out; }
+  ~StreamEnc() { delete fb; }
+
+  void step() {
+    ClipFseBackend cb{fb, window.data(), processed, 0};
+    run_frontend<ClipFseBackend, false>(window.data(), window.size(), cb);
+    processed = window.size();
+    if (processed > ENC_HIST) {  // slide: keep max-distance reach of history
+      size_t cut = processed - ENC_HIST;
+      window.erase(window.begin(), window.begin() + cut);
+      processed -= cut;
+    }
+  }
+
+  // Granule boundaries are fixed at ENC_CHUNK multiples of the raw stream,
+  // independent of push sizes, so the emitted bytes do not depend on how
+  // the caller chunks its writes (the reference ring encoder's fixed-fill
+  // property, ring_encoder.rs).
+  void push(const uint8_t* p, size_t n) {
+    n_raw += n;
+    while (n) {
+      size_t room = ENC_CHUNK - (window.size() - processed);
+      size_t take = n < room ? n : room;
+      window.insert(window.end(), p, p + take);
+      p += take; n -= take;
+      if (window.size() - processed == ENC_CHUNK) step();
+    }
+  }
+
+  void finish() {
+    if (finished) return;
+    if (window.size() > processed) step();
+    fb->finalize();  // flush the final (possibly empty) block
+    uint32_t eos = MAGIC_EOS;
+    out.insert(out.end(), (uint8_t*)&eos, (uint8_t*)&eos + 4);
+    finished = true;
+  }
+
+  size_t drain(uint8_t* dst, size_t cap) {
+    size_t n = out.size() - out_off;
+    if (n > cap) n = cap;
+    memcpy(dst, out.data() + out_off, n);
+    out_off += n;
+    if (out_off == out.size()) { out.clear(); out_off = 0; }
+    return n;
+  }
+};
+
 static int64_t encode_container(const uint8_t* src, size_t n, uint8_t* dst, size_t cap) {
   std::vector<uint8_t> out;
   out.reserve(n + n / 2 + 256);
@@ -1523,5 +1629,28 @@ long long tl_stream_pull(void* h, char* dst, size_t cap) {
 }
 
 long long tl_stream_finish(void* h) { return ((StreamDec*)h)->finish(); }
+
+// Streaming encode handles (reference LzfseRingEncoder / frontend_ring
+// roles). push consumes everything; drain between pushes to keep memory
+// O(window + one block). finish() flushes the final block + EOS.
+void* tl_enc_new() { return new StreamEnc(); }
+
+void tl_enc_free(void* h) { delete (StreamEnc*)h; }
+
+long long tl_enc_push(void* h, const char* p, size_t n) {
+  StreamEnc* s = (StreamEnc*)h;
+  if (s->finished) return -E_INTERNAL;
+  s->push((const uint8_t*)p, n);
+  return (long long)n;
+}
+
+long long tl_enc_finish(void* h) {
+  ((StreamEnc*)h)->finish();
+  return 0;
+}
+
+long long tl_enc_drain(void* h, char* dst, size_t cap) {
+  return (long long)((StreamEnc*)h)->drain((uint8_t*)dst, cap);
+}
 
 }  // extern "C"

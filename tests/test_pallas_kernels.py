@@ -1,0 +1,109 @@
+"""In-suite Pallas kernel coverage via interpreter mode.
+
+The fast tier forces the CPU backend, so the Mosaic kernels never compile
+here; interpret=True executes the same kernel logic (rolls, within-tile
+gathers, SMEM dynamic trip counts) in the Pallas interpreter, validating it
+against the scalar spec decode of a real reference block. Hardware
+bit-exactness over the full corpus is tools/check_corpus_tpu.py.
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from lzfse_rust_tpu.base import constants as C
+
+FIXTURE = pathlib.Path("/root/reference/data/mutate/vx2.lzfse")
+
+
+@pytest.fixture(scope="module")
+def block():
+    import lzfse_rust_tpu.models.decoder as M
+    fse = []
+    M._parse_container(FIXTURE.read_bytes(), 0, fse)
+    return fse[0]
+
+
+def _interp(monkeypatch_module, fn_name):
+    """Call the pallas wrapper with pallas_call forced to interpret mode."""
+    from jax.experimental import pallas as pl
+    real = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return real(*a, **k)
+
+    return real, patched
+
+
+def test_pallas_kernels_interpret_match_spec(block, monkeypatch):
+    jnp = pytest.importorskip("jax.numpy")
+    import jax
+    from jax.experimental import pallas as pl
+
+    import lzfse_rust_tpu.ops.pallas_decode as P
+    from lzfse_rust_tpu.ops.table_build import build_decode_tables
+    from lzfse_rust_tpu.spec import fse as F
+    from lzfse_rust_tpu.spec import tables as T
+
+    real_call = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", lambda *a, **k: real_call(*a, **{**k, "interpret": True}))
+    # the wrappers are jitted with static n_steps; jit of interpret-mode
+    # pallas_call works on CPU
+    d = block
+    B = P.R_ROWS
+    W = 512  # words; enough for this fixture's payloads
+
+    weights = np.tile(d.weights.astype(np.int32), (B, 1))
+    v_packed, v_base, u_packed = build_decode_tables(jnp.asarray(weights))
+
+    def prep(payload, states, bits, num, n_states_off):
+        p = np.zeros((B, W * 4), np.uint8)
+        p[:, :len(payload)] = np.frombuffer(payload, np.uint8)
+        words = p.view("<i4")
+        pos = np.full(B, len(payload) * 8 - bits, np.int32)
+        st = np.zeros((B, 128), np.int32)
+        st[:, :len(states)] = [s + o for s, o in zip(states, n_states_off)]
+        return (jnp.asarray(words.copy()), jnp.asarray(st),
+                jnp.asarray(np.repeat(pos[:, None], 128, 1)),
+                jnp.asarray(np.full((B, 128), num, np.int32)))
+
+    lw, ls, lp, ln = prep(d.lit_payload, d.block.literal.state,
+                          d.block.literal.bits, d.block.literal.num,
+                          (0, 0, 0, 0))
+    n_steps = ((d.block.literal.num + 3) // 4 + P.SUPER - 1) \
+        // P.SUPER * P.SUPER
+    lit_pk, fs, fp = P.decode_literals_pallas(u_packed, lw, ls, lp, ln,
+                                              n_steps)
+    lit_pk = np.asarray(lit_pk)
+    fs = np.asarray(fs)
+
+    # spec oracle
+    tabs = T.DecoderTables(d.weights)
+    lits = F.decode_literals(d.lit_payload, tabs, d.block.literal)
+
+    got = np.zeros(d.block.literal.num, np.uint8)
+    for i in range(d.block.literal.num // 4):
+        w = lit_pk[0, i]
+        got[4 * i:4 * i + 4] = [(w >> s) & 0xFF for s in (0, 8, 16, 24)]
+    assert (fs[0, :4] == 0).all()
+    assert np.array_equal(got, np.asarray(lits, np.uint8))
+
+    mw, ms, mp, mn = prep(d.lmd_payload, d.block.lmd.state,
+                          d.block.lmd.bits, d.block.lmd.num,
+                          (0, C.L_STATES, C.L_STATES + C.M_STATES))
+    n_steps_m = (d.block.lmd.num + P.SUPER - 1) // P.SUPER * P.SUPER
+    lm, dd, mfs, mfp = P.decode_lmds_pallas(v_packed, mw, ms, mp, mn,
+                                            n_steps_m)
+    lm = np.asarray(lm)
+    dd = np.asarray(dd)
+    mfs = np.asarray(mfs)
+    rows = F.decode_lmds(d.lmd_payload, tabs, d.block.lmd)
+    nl = d.block.lmd.num
+    assert mfs[0, 0] == 0 and mfs[0, 1] == C.L_STATES \
+        and mfs[0, 2] == C.L_STATES + C.M_STATES
+    assert np.array_equal(lm[0, :nl] & 0xFFFF, rows[:, 0])
+    assert np.array_equal(lm[0, :nl] >> 16, rows[:, 1])
+    assert np.array_equal(dd[0, :nl], rows[:, 2])

@@ -179,6 +179,32 @@ def test_reader_is_incremental():
         f"reader consumed {src.consumed} of {len(enc)} bytes for a 1-byte read")
 
 
+def test_ring_encode_goldilocks_cross_chunk_matches(snappy_dir):
+    """Streaming encode must find matches across chunk boundaries up to the
+    format's maximum distance (frontend_ring.rs:44-106 Goldilocks reach):
+    on data whose period spans several IO chunks, the streamed output must
+    stay within 1% of the one-shot encoder, where window-confined matching
+    would be several times larger."""
+    from lzfse_rust_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("spec fallback is window-chunked by design")
+    base = lz.decode_bytes((snappy_dir / "alice29.txt.lzfse").read_bytes())
+    data = (base * 14)[:2_000_000]  # 152KB period crosses 64KB io chunks
+    sink = io.BytesIO()
+    n_raw, n_payload = lz.LzfseRingEncoder().encode(io.BytesIO(data), sink)
+    assert n_raw == len(data) and n_payload == len(sink.getvalue())
+    one_shot = lz.encode_bytes(data)
+    assert lz.decode_bytes(sink.getvalue()) == data
+    assert n_payload <= len(one_shot) * 1.01, \
+        f"stream {n_payload} vs one-shot {len(one_shot)}"
+    # writer path agrees with the reader path bytes
+    w = lz.LzfseWriterBytes()
+    for i in range(0, len(data), 50_021):
+        w.write(data[i:i + 50_021])
+    assert w.into_bytes() == sink.getvalue()
+
+
 _RSS_CHILD = r"""
 import resource, sys, hashlib
 sys.path.insert(0, sys.argv[1])

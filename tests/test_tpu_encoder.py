@@ -2,7 +2,7 @@
 
 find_matches_device is pure XLA (row gathers + argsort + bounded fori), so
 it runs anywhere; on-hardware byte-identity with the native encoder is
-verified by tools/test_tpu_encoder*.py.
+verified by tools/test_tpu_encoder_corpus.py.
 """
 
 import pathlib
@@ -67,3 +67,24 @@ def test_device_match_stream_agrees_with_spec(vn):
     assert dev.match_pos.tolist() == ref.match_pos.tolist()
     assert dev.fwd_len.tolist() == ref.fwd_len.tolist()
     assert dev.back_max.tolist() == ref.back_max.tolist()
+
+
+@pytest.mark.slow
+def test_multi_window_byte_identity():
+    """Inputs beyond one device window must still be byte-identical to the
+    one-shot scalar encoder: windows carry a 262144-byte history context and
+    selection runs over the full concatenated match stream (the fix for the
+    round-1 >1MiB window divergence)."""
+    from lzfse_rust_tpu.models.encoder import WINDOW_STRIDE, TpuEncoder
+    from lzfse_rust_tpu.spec import frontend as FE
+
+    rng = np.random.default_rng(29)
+    words = [bytes(rng.integers(32, 127, int(rng.integers(3, 11)),
+                                dtype=np.uint8)) for _ in range(256)]
+    data = bytearray()
+    while len(data) < WINDOW_STRIDE + 300_000:  # 2 windows + margin
+        data += words[int(rng.integers(0, 256))]
+    data = bytes(data)
+    got = TpuEncoder().encode_bytes(data)
+    want = FE.encode_bytes(data)
+    assert got == want
