@@ -51,11 +51,18 @@ def _bucket_pow2(x: int, lo: int = 4096) -> int:
 
 
 class TpuEncoder:
-    """Container encoder with device-side match finding."""
+    """Container encoder with device-side match finding and (by default on
+    accelerators) device-side tANS block emission — the reference encoder's
+    two hot loops both run on the TPU; the host keeps the cheap sequential
+    selection scan and the bit/byte assembly."""
 
-    def __init__(self):
+    def __init__(self, device_emission: bool | None = None):
+        import jax
         import jax.numpy as jnp
         self._jnp = jnp
+        if device_emission is None:
+            device_emission = jax.default_backend() not in ("cpu",)
+        self.device_emission = device_emission
 
     def _window_matches(self, full: np.ndarray, start: int, vn: bool):
         """Exact absolute-coordinate match rows for src[start : start+stride].
@@ -144,8 +151,134 @@ class TpuEncoder:
             # small inputs: LZVN/raw host paths (blocks <= 4 KiB by design)
             return FE.encode_bytes(src)
         stream = self._device_matches(src, vn=False)
-        body = self._select_emit(src, stream)
+        if self.device_emission:
+            try:
+                body = self._emit_device(src, stream)
+                self.last_emission = "device"
+            except Exception:
+                body = self._select_emit(src, stream)
+                self.last_emission = "host-fallback"
+        else:
+            body = self._select_emit(src, stream)
+            self.last_emission = "host"
         return body + C.MAGIC_EOS.to_bytes(4, "little")
+
+    def _select_blocks(self, src: bytes, stream: MatchStream):
+        """Native selection + block splitting without emission: the raw
+        per-block contents the device emission plane consumes."""
+        from ..runtime import native
+
+        rows = np.stack([stream.pos, stream.match_pos, stream.fwd_len,
+                         stream.back_max], axis=1)
+        blob = native.select_blocks(src, rows)
+        blocks = []
+        rec = np.dtype([("l", "<u2"), ("m", "<u2"), ("d", "<u4")])
+        off = 0
+        n = len(blob)
+        while off < n:
+            n_lit, n_lmd, n_mb = np.frombuffer(blob, np.uint32, 3, off)
+            off += 12
+            lits = np.frombuffer(blob, np.uint8, int(n_lit), off)
+            off += int(n_lit)
+            raw = np.frombuffer(blob, rec, int(n_lmd), off)
+            off += 8 * int(n_lmd)
+            rows3 = np.stack([raw["l"], raw["m"], raw["d"]],
+                             axis=1).astype(np.int32)
+            blocks.append((lits, rows3, int(n_mb)))
+        return blocks
+
+    def _emit_device(self, src: bytes, stream: MatchStream) -> bytes:
+        """Device tANS block emission: Pallas state scans for every block's
+        literal + LMD streams at once; the host packs the group streams and
+        assembles headers/weights (reference hot loop 2:
+        src/fse/literals.rs:93-133, lmds.rs:62-93). Byte-identical to the
+        scalar emission path."""
+        import jax.numpy as jnp
+        from ..ops.fse_encode import build_encode_tables, pack_group_stream
+        from ..ops.pallas_encode import (R_ROWS as RE, SUPER,
+                                         encode_literals_pallas,
+                                         encode_lmds_pallas)
+        from ..spec import fse as F
+        from ..spec import weights as W
+
+        blocks = self._select_blocks(src, stream)
+        nb = len(blocks)
+        B = _bucket_pow2(nb, RE)
+        n_cols = (C.LMDS_PER_BLOCK + SUPER - 1) // SUPER * SUPER  # 10112
+        weights_np = np.zeros((B, C.N_WEIGHTS), np.int64)
+        litw = np.zeros((B, n_cols * 4), np.uint8)
+        lit_num = np.zeros(B, np.int32)
+        lmv = np.zeros((B, n_cols), np.int32)
+        dv = np.zeros((B, n_cols), np.int32)
+        lmd_num = np.zeros(B, np.int32)
+        for i, (lits, rows3, _) in enumerate(blocks):
+            weights_np[i] = W.weights_from_block(rows3, lits)
+            n_lit = len(lits)
+            pad = (-n_lit) % 4
+            pad_byte = lits[0] if n_lit else np.uint8(0)
+            g = (n_lit + pad) // 4
+            start = n_cols * 4 - g * 4
+            litw[i, start:start + n_lit] = lits
+            if pad:
+                litw[i, start + n_lit:start + n_lit + pad] = pad_byte
+            lit_num[i] = n_lit + pad
+            nr = len(rows3)
+            lmv[i, n_cols - nr:] = rows3[:, 0] | (rows3[:, 1] << 16)
+            dv[i, n_cols - nr:] = rows3[:, 2]
+            lmd_num[i] = nr
+
+        perm_l = np.argsort(-lit_num, kind="stable").astype(np.int32)
+        perm_m = np.argsort(-lmd_num, kind="stable").astype(np.int32)
+        e_l, e_m, e_d, e_u = build_encode_tables(jnp.asarray(weights_np))
+
+        def bc(x):
+            return jnp.asarray(np.repeat(x[:, None], 128, 1).astype(np.int32))
+
+        words = jnp.asarray(litw.view("<i4"))
+        glo, gmeta, lfs = encode_literals_pallas(
+            jnp.take(e_u, jnp.asarray(perm_l), axis=0),
+            jnp.take(words, jnp.asarray(perm_l), axis=0),
+            bc(lit_num[perm_l]), n_cols)
+        mlo, mmeta, mfs = encode_lmds_pallas(
+            jnp.take(e_l, jnp.asarray(perm_m), axis=0),
+            jnp.take(e_m, jnp.asarray(perm_m), axis=0),
+            jnp.take(e_d, jnp.asarray(perm_m), axis=0),
+            jnp.take(jnp.asarray(lmv), jnp.asarray(perm_m), axis=0),
+            jnp.take(jnp.asarray(dv), jnp.asarray(perm_m), axis=0),
+            bc(lmd_num[perm_m]), n_cols)
+        inv_l = np.argsort(perm_l)
+        inv_m = np.argsort(perm_m)
+        glo = np.asarray(glo)[inv_l]
+        gmeta = np.asarray(gmeta)[inv_l]
+        lfs = np.asarray(lfs)[inv_l]
+        mlo = np.asarray(mlo)[inv_m]
+        mmeta = np.asarray(mmeta)[inv_m]
+        mfs = np.asarray(mfs)[inv_m]
+
+        out = []
+        for i, (lits, rows3, n_mb) in enumerate(blocks):
+            padded = int(lit_num[i])
+            g = padded // 4
+            lit_pay, lit_off = pack_group_stream(glo[i], gmeta[i], g, 8)
+            lmd_pay, lmd_off = pack_group_stream(mlo[i], mmeta[i],
+                                                 int(lmd_num[i]), 22)
+            lmd_pay = b"\x00" * 8 + lmd_pay
+            lit_param = F.LiteralParam(
+                num=padded, n_payload_bytes=len(lit_pay), bits=lit_off,
+                state=tuple(int(s) - C.U_STATES for s in lfs[i, :4]))
+            lmd_param = F.LmdParam(
+                num=int(lmd_num[i]), n_payload_bytes=len(lmd_pay),
+                bits=lmd_off,
+                state=(int(mfs[i, 0]) - C.L_STATES,
+                       int(mfs[i, 1]) - C.M_STATES,
+                       int(mfs[i, 2]) - C.D_STATES))
+            block = F.FseBlock(lit_param, lmd_param, len(lits) + n_mb)
+            weight_payload = W.store_v2(weights_np[i])
+            out.append(F.store_v2_header(block, len(weight_payload)))
+            out.append(weight_payload)
+            out.append(lit_pay)
+            out.append(lmd_pay)
+        return b"".join(out)
 
     def _select_emit(self, chunk: bytes, stream: MatchStream) -> bytes:
         """Selection scan + block emission (native fast path, spec fallback).

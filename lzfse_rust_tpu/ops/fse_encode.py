@@ -124,6 +124,34 @@ def pack_bits_host(stream: np.ndarray) -> tuple[bytes, int]:
     return buf[:n_bytes].tobytes(), off
 
 
+def pack_group_stream(lo: np.ndarray, meta: np.ndarray, n_groups: int,
+                      meta_shift: int) -> tuple[bytes, int]:
+    """Pack one block's Pallas-kernel group stream into payload bytes.
+
+    lo/meta: int32 columns from ops/pallas_encode (one entry per push
+    group, forward payload order); meta = hi | n << meta_shift where the
+    group value is lo (u32) | hi << 32 with n total bits (<= 54).
+    Returns (payload, off) exactly as pack_bits_host.
+    """
+    lo64 = lo[:n_groups].astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    m = meta[:n_groups].astype(np.int64)
+    hi = (m & ((1 << meta_shift) - 1)).astype(np.uint64)
+    nb = (m >> meta_shift).astype(np.int64)
+    val = lo64 | (hi << np.uint64(32))
+    pos = np.concatenate([[0], np.cumsum(nb)])
+    total = int(pos[-1])
+    n_bytes = (total + 7) // 8
+    off = (8 - total % 8) % 8
+    buf = np.zeros(n_bytes + 9, dtype=np.uint8)
+    byte0 = (pos[:-1] >> 3).astype(np.int64)
+    sh = (pos[:-1] & 7).astype(np.uint64)
+    v = val << sh  # <= 54 + 7 = 61 bits
+    for k in range(8):
+        np.bitwise_or.at(buf, byte0 + k, ((v >> np.uint64(8 * k))
+                                          & np.uint64(0xFF)).astype(np.uint8))
+    return buf[:n_bytes].tobytes(), off
+
+
 @functools.partial(jax.jit, static_argnames=("n_steps",))
 def encode_lmds_batch(e_l: jnp.ndarray, e_m: jnp.ndarray, e_d: jnp.ndarray,
                       lmds: jnp.ndarray, num: jnp.ndarray, n_steps: int):

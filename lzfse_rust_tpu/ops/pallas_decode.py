@@ -287,9 +287,12 @@ def _lmd_kernel(ns_ref, v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref,
     fpos_ref[:, :] = pos
 
 
-R_ROWS = 64  # blocks per grid step. Loop overhead amortizes with R up to
-             # ~64; R=96 measured ~10% slower per block (tile inefficiency)
-             # and R=128 exceeds VMEM for the LMD kernel.
+R_ROWS = 64      # literal-kernel rows per grid step. Loop overhead
+                 # amortizes with R up to ~64; R=96 measured ~10% slower
+                 # per block; R=32 measured 0.43 vs 0.53 GB/s.
+R_ROWS_LMD = 32  # the LMD kernel's larger payload window + two outputs
+                 # exceed the 16MB scoped-VMEM limit double-buffered at
+                 # R=64 (18.8MB); 32 rows fit with headroom.
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps",))
@@ -366,18 +369,18 @@ def decode_lmds_pallas(v_tab, win_words, init_states, init_pos, num,
     from ..base import constants as _C
 
     B, W = win_words.shape
-    assert B % R_ROWS == 0
-    grid = (B // R_ROWS,)
+    assert B % R_ROWS_LMD == 0
+    grid = (B // R_ROWS_LMD,)
     n_out = (n_steps + SUPER - 1) // SUPER * SUPER
     steps = num[:, 0]
-    gmax = jnp.max(steps.reshape(-1, R_ROWS), axis=1)
+    gmax = jnp.max(steps.reshape(-1, R_ROWS_LMD), axis=1)
     ns = jnp.minimum((gmax + SUPER - 1) // SUPER,
                      n_out // SUPER).astype(jnp.int32).reshape(-1, 1)
     d_base_host = _np.zeros((B, 128), _np.int32)
     d_base_host[:, :_C.D_SYMBOLS] = _C.D_BASE_VALUE
     d_base = jnp.asarray(d_base_host)
-    ns_shape = (B // R_ROWS, 1)
-    kernel = functools.partial(_lmd_kernel, r_rows=R_ROWS, n_steps=n_steps,
+    ns_shape = (B // R_ROWS_LMD, 1)
+    kernel = functools.partial(_lmd_kernel, r_rows=R_ROWS_LMD, n_steps=n_steps,
                                w_words=W)
     return pl.pallas_call(
         kernel,
@@ -385,27 +388,27 @@ def decode_lmds_pallas(v_tab, win_words, init_states, init_pos, num,
         in_specs=[
             pl.BlockSpec(ns_shape, lambda g: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((R_ROWS, 384), lambda g: (g, 0),
+            pl.BlockSpec((R_ROWS_LMD, 384), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_ROWS, 128), lambda g: (g, 0),
+            pl.BlockSpec((R_ROWS_LMD, 128), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_ROWS, W), lambda g: (g, 0),
+            pl.BlockSpec((R_ROWS_LMD, W), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_ROWS, 128), lambda g: (g, 0),
+            pl.BlockSpec((R_ROWS_LMD, 128), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_ROWS, 128), lambda g: (g, 0),
+            pl.BlockSpec((R_ROWS_LMD, 128), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_ROWS, 128), lambda g: (g, 0),
+            pl.BlockSpec((R_ROWS_LMD, 128), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((R_ROWS, n_out), lambda g: (g, 0),
+            pl.BlockSpec((R_ROWS_LMD, n_out), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_ROWS, n_out), lambda g: (g, 0),
+            pl.BlockSpec((R_ROWS_LMD, n_out), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_ROWS, 128), lambda g: (g, 0),
+            pl.BlockSpec((R_ROWS_LMD, 128), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_ROWS, 128), lambda g: (g, 0),
+            pl.BlockSpec((R_ROWS_LMD, 128), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -415,7 +418,7 @@ def decode_lmds_pallas(v_tab, win_words, init_states, init_pos, num,
             jax.ShapeDtypeStruct((B, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((R_ROWS, 256), jnp.int32),
-            pltpu.VMEM((R_ROWS, 128), jnp.int32),
+            pltpu.VMEM((R_ROWS_LMD, 256), jnp.int32),
+            pltpu.VMEM((R_ROWS_LMD, 128), jnp.int32),
         ],
     )(ns, v_tab, d_base, win_words, init_states, init_pos, num)

@@ -61,6 +61,10 @@ def _configure(lib) -> None:
                                    ctypes.c_size_t]
     lib.tl_stream_finish.restype = ctypes.c_longlong
     lib.tl_stream_finish.argtypes = [ctypes.c_void_p]
+    lib.tl_select_blocks.restype = ctypes.c_longlong
+    lib.tl_select_blocks.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t]
     lib.tl_enc_new.restype = ctypes.c_void_p
     lib.tl_enc_new.argtypes = []
     lib.tl_enc_free.restype = None
@@ -122,6 +126,26 @@ def select_emit_fse(src: bytes, stream_rows) -> bytes:
         out, cap)
     if n < 0:
         raise LzfseError(f"select_emit failed: {n}")
+    return out.raw[:n]
+
+
+def select_blocks(src: bytes, stream_rows):
+    """Selection + FSE block splitting WITHOUT emission: returns the raw
+    block contents for the device emission plane. Serialized per block as
+    u32 n_lit, u32 n_lmd, u32 n_match_bytes, lits[n_lit], then n_lmd
+    packed rows (u16 l, u16 m, u32 d with repeat-distance zeros)."""
+    import ctypes
+    import numpy as np
+    from ..base.errors import LzfseError
+    lib = _lib()
+    rows = np.ascontiguousarray(stream_rows, dtype=np.int64)
+    cap = len(src) + len(src) // 2 + 65536
+    out = ctypes.create_string_buffer(cap)
+    n = lib.tl_select_blocks(
+        src, len(src), rows.ctypes.data_as(ctypes.c_void_p), rows.shape[0],
+        out, cap)
+    if n < 0:
+        raise LzfseError(f"select_blocks failed: {n}")
     return out.raw[:n]
 
 

@@ -1103,7 +1103,25 @@ struct FseBackend {
   void push_literals(const uint8_t* lit, size_t lit_len) { push_match(lit, lit_len, 0, 1); }
   void finalize() { emit_block(); }
 
+  // dump mode: serialize raw block contents (for the device emission
+  // plane — the TPU runs the tANS state scans, the host packs) instead of
+  // encoding. Format per block: u32 n_lit, u32 n_lmd, u32 n_match_bytes,
+  // lits[n_lit], then n_lmd x (u16 l, u16 m, u32 d packed).
+  std::vector<uint8_t>* dump = nullptr;
+
   void emit_block() {
+    if (dump) {
+      uint32_t hdr[3] = {(uint32_t)n_lit, (uint32_t)n_lmd, n_match_bytes};
+      dump->insert(dump->end(), (uint8_t*)hdr, (uint8_t*)hdr + 12);
+      dump->insert(dump->end(), lits, lits + n_lit);
+      dump->insert(dump->end(), (uint8_t*)lmds, (uint8_t*)(lmds + n_lmd));
+      reset();
+      return;
+    }
+    emit_block_encoded();
+  }
+
+  void emit_block_encoded() {
     // weights from unpadded content (emit_block_v2, fse/backend.rs:39-54)
     uint16_t w[N_WEIGHTS];
     memset(w, 0, sizeof w);
@@ -1526,15 +1544,9 @@ long long tl_encode(const char* src, size_t n, char* dst, size_t cap) {
 // stream (the TPU encoder's host epilogue). `stream` is n_matches rows of
 // int64 (pos, match_pos, fwd_len, back_max) sorted by pos; emits the Vx2
 // block body for this window (no container EOS).
-long long tl_select_emit_fse(const char* src_c, size_t n,
-                             const long long* stream, size_t n_matches,
-                             char* dst, size_t cap) {
-  const uint8_t* src = (const uint8_t*)src_c;
-  std::vector<uint8_t> out;
-  out.reserve(n / 2 + 4096);
-  FseBackend* fb = new FseBackend();
-  fb->out = &out;
-
+static long long select_into_backend(const uint8_t* src, size_t n,
+                                     const long long* stream,
+                                     size_t n_matches, FseBackend* fb) {
   // Match::select scan (match_object.rs:12-33 + the hot-loop skip logic)
   size_t literal_index = 0;
   size_t limit = n >= 3 ? n - 3 : 0;
@@ -1576,6 +1588,33 @@ long long tl_select_emit_fse(const char* src_c, size_t n,
   }
   if (li < n) fb->push_literals(src + li, n - li);
   fb->finalize();
+  return 0;
+}
+
+long long tl_select_emit_fse(const char* src_c, size_t n,
+                             const long long* stream, size_t n_matches,
+                             char* dst, size_t cap) {
+  std::vector<uint8_t> out;
+  out.reserve(n / 2 + 4096);
+  FseBackend* fb = new FseBackend();
+  fb->out = &out;
+  select_into_backend((const uint8_t*)src_c, n, stream, n_matches, fb);
+  delete fb;
+  if (out.size() > cap) return -E_CAP;
+  memcpy(dst, out.data(), out.size());
+  return (long long)out.size();
+}
+
+// Selection + block splitting only: serialized raw block contents for the
+// device emission plane (see FseBackend::emit_block dump mode).
+long long tl_select_blocks(const char* src_c, size_t n,
+                           const long long* stream, size_t n_matches,
+                           char* dst, size_t cap) {
+  std::vector<uint8_t> out;
+  out.reserve(n + n / 4 + 4096);
+  FseBackend* fb = new FseBackend();
+  fb->dump = &out;
+  select_into_backend((const uint8_t*)src_c, n, stream, n_matches, fb);
   delete fb;
   if (out.size() > cap) return -E_CAP;
   memcpy(dst, out.data(), out.size());

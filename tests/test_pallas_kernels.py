@@ -107,3 +107,102 @@ def test_pallas_kernels_interpret_match_spec(block, monkeypatch):
     assert np.array_equal(lm[0, :nl] & 0xFFFF, rows[:, 0])
     assert np.array_equal(lm[0, :nl] >> 16, rows[:, 1])
     assert np.array_equal(dd[0, :nl], rows[:, 2])
+
+
+def test_pallas_encode_kernels_interpret_match_payload(block, monkeypatch):
+    """Encode kernels (interpret mode) must reproduce the block's exact
+    payload bytes: spec-decode the fixture block's literals/rows, re-encode
+    with the Pallas scans + host group packer, compare against the original
+    payloads (the spec encoder round-trips this block identically)."""
+    jnp = pytest.importorskip("jax.numpy")
+    from jax.experimental import pallas as pl
+
+    import lzfse_rust_tpu.ops.pallas_encode as PE
+    from lzfse_rust_tpu.ops.fse_encode import (build_encode_tables,
+                                               pack_group_stream)
+    from lzfse_rust_tpu.spec import fse as F
+    from lzfse_rust_tpu.spec import tables as T
+
+    real_call = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **k: real_call(*a, **{**k, "interpret": True}))
+
+    d = block
+    tabs = T.DecoderTables(d.weights)
+    lits = np.asarray(F.decode_literals(d.lit_payload, tabs, d.block.literal),
+                      np.uint8)
+    rows = np.asarray(F.decode_lmds(d.lmd_payload, tabs, d.block.lmd))
+    # packed d: zero when repeating the previous distance (the stored form)
+    B = PE.R_ROWS
+    weights = np.tile(d.weights.astype(np.int32), (B, 1))
+    e_l, e_m, e_d, e_u = build_encode_tables(jnp.asarray(weights))
+
+    # literals: right-justified packed words
+    n_lit = d.block.literal.num
+    G = (n_lit + 3) // 4
+    n_cols = (G + PE.SUPER - 1) // PE.SUPER * PE.SUPER
+    lw = np.zeros((B, n_cols * 4), np.uint8)
+    lw[:, n_cols * 4 - G * 4:n_cols * 4 - G * 4 + n_lit] = lits
+    if n_lit % 4:  # spec pads the tail group with lits[0]
+        lw[:, n_cols * 4 - G * 4 + n_lit:] = lits[0]
+    words = jnp.asarray(lw.view("<i4").copy())
+    numv = jnp.asarray(np.full((B, 128), n_lit, np.int32))
+    glo, gmeta, fs = PE.encode_literals_pallas(e_u, words, numv, n_cols)
+    payload, off = pack_group_stream(np.asarray(glo)[0], np.asarray(gmeta)[0],
+                                     G, 8)
+    # ground truth via the validated spec path
+    etabs = T.EncoderTables(d.weights)
+    want_payload, want_param = F.encode_literals(
+        np.concatenate([lits, np.full((-n_lit) % 4, lits[0], np.uint8)]),
+        etabs)
+    assert payload == want_payload
+    assert off == want_param.bits
+    assert tuple(np.asarray(fs)[0, :4] - 1024) == want_param.state
+
+    # LMD rows
+    nr = len(rows)
+    n_cols_m = (nr + PE.SUPER - 1) // PE.SUPER * PE.SUPER
+    lmv = np.zeros((B, n_cols_m), np.int32)
+    dv = np.zeros((B, n_cols_m), np.int32)
+    lmv[:, n_cols_m - nr:] = rows[:, 0] | (rows[:, 1] << 16)
+    dv[:, n_cols_m - nr:] = rows[:, 2]
+    numm = jnp.asarray(np.full((B, 128), nr, np.int32))
+    mlo, mmeta, mfs = PE.encode_lmds_pallas(
+        e_l, e_m, e_d, jnp.asarray(lmv), jnp.asarray(dv), numm, n_cols_m)
+    pay_m, off_m = pack_group_stream(np.asarray(mlo)[0], np.asarray(mmeta)[0],
+                                     nr, 22)
+    want_pay_m, want_param_m = F.encode_lmds(rows, etabs)
+    # spec LMD payload carries its 8-byte leading pad
+    assert b"\x00" * 8 + pay_m == want_pay_m
+    assert off_m == want_param_m.bits
+    got_states = (int(np.asarray(mfs)[0, 0]) - C.L_STATES,
+                  int(np.asarray(mfs)[0, 1]) - C.M_STATES,
+                  int(np.asarray(mfs)[0, 2]) - C.D_STATES)
+    assert got_states == want_param_m.state
+
+
+def test_tpu_encoder_device_emission_identity(monkeypatch):
+    """Full TpuEncoder with the device emission plane (interpret mode) must
+    be byte-identical to the scalar spec encoder on a real corpus file."""
+    pytest.importorskip("jax")
+    from jax.experimental import pallas as pl
+
+    from lzfse_rust_tpu.models.encoder import TpuEncoder
+    from lzfse_rust_tpu.runtime import native
+    from lzfse_rust_tpu.spec import frontend as FE
+
+    if not native.available():
+        pytest.skip("native runtime not built (select_blocks)")
+    real_call = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **k: real_call(*a, **{**k, "interpret": True}))
+    data = native.decode_bytes(
+        pathlib.Path("/root/reference/data/snappy/html_x_4.lzfse")
+        .read_bytes())[:300_000]
+    enc = TpuEncoder(device_emission=True)
+    got = enc.encode_bytes(data)
+    assert enc.last_emission == "device"
+    want = FE.encode_bytes(data)
+    assert got == want
