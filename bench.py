@@ -77,7 +77,6 @@ def _device_time_injit(srcs):
     from lzfse_rust_tpu.ops.pallas_decode import (R_ROWS,
                                                   decode_literals_pallas,
                                                   decode_lmds_pallas)
-    from lzfse_rust_tpu.ops.table_build import build_decode_tables
 
     fse_blocks = []
     for i, s in enumerate(srcs):
@@ -107,6 +106,16 @@ def _device_time_injit(srcs):
 
     perm_l = np.argsort(-((lit_num + 3) // 4), kind="stable").astype(np.int32)
     perm_m = np.argsort(-lmd_num, kind="stable").astype(np.int32)
+    # packed tables built host-side (native engine), uploaded pre-sorted —
+    # exactly what decode_many does; the device stage is the two kernels
+    from lzfse_rust_tpu.runtime import native
+    v_tabs = np.zeros((B, 384), np.int32)
+    u_tabs = np.zeros((B, 1024), np.int32)
+    inv_l = np.argsort(perm_l)
+    inv_m = np.argsort(perm_m)
+    for i, d in enumerate(fse_blocks):
+        native.build_tables_into(d.weights, v_tabs[inv_m[i]],
+                                 u_tabs[inv_l[i]])
     lw = M._round_up(M.LIT_PAYLOAD_PAD // 4 + 4, 128)
     mw = M._round_up(M.LMD_PAYLOAD_PAD // 4 + 4, 128)
     lit_words = np.zeros((B, lw), np.int32)
@@ -124,21 +133,19 @@ def _device_time_injit(srcs):
     def bc(x):
         return jnp.asarray(np.repeat(x[:, None], 128, 1).astype(np.int32))
 
-    args = (jnp.asarray(weights), jnp.asarray(lit_words),
+    args = (jnp.asarray(u_tabs), jnp.asarray(v_tabs), jnp.asarray(lit_words),
             jnp.asarray(lmd_words), vec(lit_states[perm_l]),
             vec(lmd_states[perm_m]), bc(lit_pos[perm_l]), bc(lmd_pos[perm_m]),
-            bc(lit_num[perm_l]), bc(lmd_num[perm_m]),
-            jnp.asarray(perm_l), jnp.asarray(perm_m))
+            bc(lit_num[perm_l]), bc(lmd_num[perm_m]))
 
     @functools.partial(jax.jit, static_argnames="n_rep")
-    def pipe(Wd, LW, MW, LS, MS, LP, MP, LN, MN, PL, PM, n_rep):
+    def pipe(UT, VT, LW, MW, LS, MS, LP, MP, LN, MN, n_rep):
         def body(r, acc):
-            vp, vb, up = build_decode_tables(Wd + r - r)
             lits, lfs, _ = decode_literals_pallas(
-                jnp.take(up, PL, axis=0), LW, LS, LP + r - r, LN,
+                UT + r - r, LW, LS, LP + r - r, LN,
                 C.LITERALS_PER_BLOCK // 4)
             lm, dd, mfs, _ = decode_lmds_pallas(
-                jnp.take(vp, PM, axis=0), MW, MS, MP + r - r, MN,
+                VT + r - r, MW, MS, MP + r - r, MN,
                 C.LMDS_PER_BLOCK)
             return acc + jnp.sum(lfs) + jnp.sum(mfs) + lits[0, 0] + lm[0, 0]
         return jax.lax.fori_loop(0, n_rep, body, jnp.int32(0))

@@ -58,6 +58,30 @@ class _ParsedContainer:
     n_raw: int = 0
 
 
+_NATIVE_W = None
+
+
+def _native_mod():
+    """The native runtime module, or None when the .so is absent."""
+    global _NATIVE_W
+    if _NATIVE_W is None:
+        try:
+            from ..runtime import native
+            _NATIVE_W = native if native.available() else False
+        except Exception:
+            _NATIVE_W = False
+    return _NATIVE_W or None
+
+
+def _weights_v2(payload: bytes) -> np.ndarray:
+    """V2 weight Huffman decode — native engine when built (the Python
+    nibble loop costs ~0.3ms/block and dominated host parse)."""
+    n = _native_mod()
+    if n is not None:
+        return n.load_weights_v2(payload)
+    return W.load_v2(payload)
+
+
 def _parse_container(src: bytes, ci: int, fse_blocks: list) -> _ParsedContainer:
     """Walk one container, collecting FSE payloads and host-parsed rows."""
     out = _ParsedContainer()
@@ -74,7 +98,7 @@ def _parse_container(src: bytes, ci: int, fse_blocks: list) -> _ParsedContainer:
             if magic == C.MAGIC_VX2:
                 block, nw = F.load_v2_header(
                     spec_container._take(src, pos, C.V2_HEADER_SIZE))
-                weights = W.load_v2(
+                weights = _weights_v2(
                     spec_container._take(src, pos + C.V2_HEADER_SIZE, nw))
                 payload_start = pos + C.V2_HEADER_SIZE + nw
             else:
@@ -150,6 +174,30 @@ def _substitute_fn():
 def _substitute_jit(lmds):
     """Apply per-block distance zero-substitution on device (jitted)."""
     return _substitute_fn()(lmds)
+
+
+_PREP_CACHE: dict = {}
+
+
+def _prep_buffers(B: int, lw: int, mw: int):
+    """Reusable host staging buffers for the pallas batch prep (zeroing
+    ~60MB of payload arrays per call dominated prep time; stale bytes above
+    each row's payload are provably never extracted). decode_many is not
+    re-entrant — callers wanting concurrency use separate processes."""
+    key = (B, lw, mw)
+    bufs = _PREP_CACHE.get(key)
+    if bufs is None:
+        bufs = (np.zeros((B, C.N_WEIGHTS), np.int32),
+                np.zeros((B, lw), np.int32),
+                np.zeros((B, mw), np.int32),
+                np.zeros((B, 128), np.int32),   # lit states (lanes >=4 stay 0)
+                np.zeros((B, 128), np.int32),   # lmd states
+                np.zeros(B, np.int32),          # lit pos
+                np.zeros(B, np.int32),          # lmd pos
+                np.zeros((B, 384), np.int32),   # packed v tables (sorted)
+                np.zeros((B, 1024), np.int32))  # packed u tables (sorted)
+        _PREP_CACHE[key] = bufs
+    return bufs
 
 
 @functools.lru_cache(maxsize=1)
@@ -238,11 +286,110 @@ class TpuDecoder:
         _mark("parse")
 
         lit_arr = np.zeros((max(len(fse_blocks), 1), 0), dtype=np.uint8)
-        if fse_blocks:
-            # pad block batch for jit cache reuse; pallas needs multiples of
-            # the kernel row-group size
-            from ..ops.pallas_decode import R_ROWS
-            B = _bucket(len(fse_blocks), R_ROWS if self.use_pallas else 1)
+        if fse_blocks and self.use_pallas:
+            from ..ops.pallas_decode import (R_ROWS, decode_literals_pallas,
+                                             decode_lmds_pallas)
+            nb = len(fse_blocks)
+            B = _bucket(nb, R_ROWS)
+            # Sort blocks by per-kernel step count so each kernel row group
+            # is homogeneous — the kernels run a dynamic per-group
+            # superepoch count, skipping the dead tail of the static cap
+            # (corpus literal fill is ~29%, LMD ~67% of the cap).
+            lit_num = np.zeros(B, dtype=np.int32)
+            lmd_num = np.zeros(B, dtype=np.int32)
+            for i, d in enumerate(fse_blocks):
+                lit_num[i] = d.block.literal.num
+                lmd_num[i] = d.block.lmd.num
+            perm_l = np.argsort(-((lit_num + 3) // 4),
+                                kind="stable").astype(np.int32)
+            perm_m = np.argsort(-lmd_num, kind="stable").astype(np.int32)
+            inv_l = np.argsort(perm_l).astype(np.int32)
+            inv_m = np.argsort(perm_m).astype(np.int32)
+
+            # Cached np.empty buffers, payloads written straight into their
+            # sorted slots. Stale bytes above a row's payload are never
+            # extracted (the bit positions only run downward from the
+            # stream head and reads are masked), so no bulk zeroing.
+            lit_w_total = _round_up(LIT_PAYLOAD_PAD // 4 + 4, 128)
+            lmd_w_total = _round_up(LMD_PAYLOAD_PAD // 4 + 4, 128)
+            bufs = _prep_buffers(B, lit_w_total, lmd_w_total)
+            (weights, lit_words, lmd_words, lit_states, lmd_states,
+             lit_pos, lmd_pos, v_tabs, u_tabs) = bufs
+            # packed decode tables build host-side at native speed, straight
+            # into their sorted slots (they're ~5.6KB/block — cheaper to
+            # upload than to build on device); device build is the fallback
+            native_tables = _native_mod()
+            lit_u8 = lit_words.view(np.uint8)
+            lmd_u8 = lmd_words.view(np.uint8)
+            for i, d in enumerate(fse_blocks):
+                weights[i] = d.weights
+                lp, mp = d.lit_payload, d.lmd_payload
+                sl = inv_l[i]
+                lit_u8[sl, :len(lp)] = np.frombuffer(lp, dtype=np.uint8)
+                lit_u8[sl, len(lp):len(lp) + 8] = 0
+                lit_pos[sl] = len(lp) * 8 - d.block.literal.bits
+                lit_states[sl, :4] = d.block.literal.state
+                sm = inv_m[i]
+                lmd_u8[sm, :len(mp)] = np.frombuffer(mp, dtype=np.uint8)
+                lmd_u8[sm, len(mp):len(mp) + 8] = 0
+                ls = d.block.lmd.state
+                lmd_states[sm, :3] = (ls[0], ls[1] + C.L_STATES,
+                                      ls[2] + C.L_STATES + C.M_STATES)
+                lmd_pos[sm] = len(mp) * 8 - d.block.lmd.bits
+                if native_tables:
+                    native_tables.build_tables_into(d.weights, v_tabs[sm],
+                                                    u_tabs[sl])
+
+            def bcast(x):
+                return jnp.asarray(
+                    np.ascontiguousarray(
+                        np.broadcast_to(x[:, None], (B, 128))))
+
+            take = _take_rows_fn()
+            if native_tables:
+                u_sorted = jnp.asarray(u_tabs)
+                v_sorted = jnp.asarray(v_tabs)
+            else:
+                v_packed, v_base, u_packed = build_decode_tables(
+                    jnp.asarray(weights))
+                u_sorted = take(u_packed, jnp.asarray(perm_l))
+                v_sorted = take(v_packed, jnp.asarray(perm_m))
+            lit_pk, lit_fs128, lit_fp128 = decode_literals_pallas(
+                u_sorted,
+                jnp.asarray(lit_words), jnp.asarray(lit_states),
+                bcast(lit_pos), bcast(lit_num[perm_l]),
+                C.LITERALS_PER_BLOCK // 4)
+            lm_pk, d_pk, lmd_fs128, lmd_fp128 = decode_lmds_pallas(
+                v_sorted,
+                jnp.asarray(lmd_words), jnp.asarray(lmd_states),
+                bcast(lmd_pos), bcast(lmd_num[perm_m]),
+                C.LMDS_PER_BLOCK)
+            literals, lmds = _unpack_fn()(
+                take(lit_pk, jnp.asarray(inv_l)),
+                take(lm_pk, jnp.asarray(inv_m)),
+                take(d_pk, jnp.asarray(inv_m)))
+            lmds = _substitute_jit(lmds)
+            _mark("prep")
+
+            # Stream validity (fse_core.rs:132-140 + literals.rs:79-87):
+            # final states at defaults, no payload underflow (>= 64 bits of
+            # pad remain).
+            lit_fs = np.asarray(lit_fs128)[inv_l, :4]
+            lit_fp = np.asarray(lit_fp128)[inv_l, 0]
+            lit_ok = (lit_fs == 0).all(axis=1)
+            lit_ok &= lit_fp >= 64
+            lmd_fs_np = np.asarray(lmd_fs128)[inv_m, :3]
+            lmd_fp = np.asarray(lmd_fp128)[inv_m, 0]
+            lmd_ok = ((lmd_fs_np[:, 0] == 0)
+                      & (lmd_fs_np[:, 1] == C.L_STATES)
+                      & (lmd_fs_np[:, 2] == C.L_STATES + C.M_STATES))
+            lmd_ok &= lmd_fp >= 64
+            fse_ok = lit_ok & lmd_ok
+            lit_arr = np.asarray(literals)
+            lmd_arr = np.asarray(lmds)
+            _mark("device")
+        elif fse_blocks:
+            B = _bucket(len(fse_blocks), 1)
             weights = np.zeros((B, C.N_WEIGHTS), dtype=np.int32)
             weights[:len(fse_blocks)] = np.stack(
                 [d.weights for d in fse_blocks])
@@ -269,58 +416,7 @@ class TpuDecoder:
 
             v_packed, v_base, u_packed = build_decode_tables(
                 jnp.asarray(weights))
-            if self.use_pallas:
-                from ..ops.pallas_decode import (decode_literals_pallas,
-                                                 decode_lmds_pallas)
-                # Sort blocks by per-kernel step count so each R_ROWS group
-                # is homogeneous — the kernels run a dynamic per-group
-                # superepoch count, skipping the dead tail of the static cap
-                # (corpus literal fill is ~29%, LMD ~67% of the cap).
-                perm_l = np.argsort(-((lit_num + 3) // 4),
-                                    kind="stable").astype(np.int32)
-                perm_m = np.argsort(-lmd_num, kind="stable").astype(np.int32)
-                inv_l = np.argsort(perm_l).astype(np.int32)
-                inv_m = np.argsort(perm_m).astype(np.int32)
-                # word views padded to a multiple of 128 (Mosaic-aligned
-                # dynamic slices in the pallas kernels)
-                lit_w_total = _round_up(LIT_PAYLOAD_PAD // 4 + 4, 128)
-                lit_words = np.zeros((B, lit_w_total), np.int32)
-                lit_words[:, :LIT_PAYLOAD_PAD // 4] = \
-                    litp[perm_l, :LIT_PAYLOAD_PAD].view("<i4")
-                lmd_w_total = _round_up(LMD_PAYLOAD_PAD // 4 + 4, 128)
-                lmd_words = np.zeros((B, lmd_w_total), np.int32)
-                lmd_words[:, :LMD_PAYLOAD_PAD // 4] = \
-                    lmdp[perm_m, :LMD_PAYLOAD_PAD].view("<i4")
-
-                def vec(x):  # (B, n) -> (B, 128) lane layout
-                    out = np.zeros((B, 128), np.int32)
-                    out[:, :x.shape[1]] = x
-                    return jnp.asarray(out)
-
-                def bcast(x):
-                    return jnp.asarray(
-                        np.repeat(x[:, None], 128, axis=1).astype(np.int32))
-
-                take = _take_rows_fn()
-                lit_pk, lit_fs128, lit_fp128 = decode_literals_pallas(
-                    take(u_packed, jnp.asarray(perm_l)),
-                    jnp.asarray(lit_words), vec(lit_states[perm_l]),
-                    bcast(lit_pos[perm_l]), bcast(lit_num[perm_l]),
-                    C.LITERALS_PER_BLOCK // 4)
-                lm_pk, d_pk, lmd_fs128, lmd_fp128 = decode_lmds_pallas(
-                    take(v_packed, jnp.asarray(perm_m)),
-                    jnp.asarray(lmd_words), vec(lmd_states[perm_m]),
-                    bcast(lmd_pos[perm_m]), bcast(lmd_num[perm_m]),
-                    C.LMDS_PER_BLOCK)
-                literals, lmds = _unpack_fn()(
-                    take(lit_pk, jnp.asarray(inv_l)),
-                    take(lm_pk, jnp.asarray(inv_m)),
-                    take(d_pk, jnp.asarray(inv_m)))
-                lit_fs = lit_fs128[inv_l, :4]
-                lit_fp = lit_fp128[inv_l, 0]
-                lmd_fs = lmd_fs128[inv_m, :3]
-                lmd_fp = lmd_fp128[inv_m, 0]
-            else:
+            if True:
                 lit_w = bytes_to_windows(jnp.asarray(litp))
                 lmd_w = bytes_to_windows(jnp.asarray(lmdp))
                 literals, lit_fs, lit_fp = decode_literals_batch(

@@ -61,6 +61,12 @@ def _configure(lib) -> None:
                                    ctypes.c_size_t]
     lib.tl_stream_finish.restype = ctypes.c_longlong
     lib.tl_stream_finish.argtypes = [ctypes.c_void_p]
+    lib.tl_build_tables.restype = ctypes.c_longlong
+    lib.tl_build_tables.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_void_p]
+    lib.tl_load_weights_v2.restype = ctypes.c_longlong
+    lib.tl_load_weights_v2.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                       ctypes.c_void_p]
     lib.tl_select_blocks.restype = ctypes.c_longlong
     lib.tl_select_blocks.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
@@ -127,6 +133,27 @@ def select_emit_fse(src: bytes, stream_rows) -> bytes:
     if n < 0:
         raise LzfseError(f"select_emit failed: {n}")
     return out.raw[:n]
+
+
+def build_tables_into(weights, v_row, u_row) -> None:
+    """Build one block's packed decode tables (format of ops/table_build)
+    into caller arrays: v_row int32[384], u_row int32[1024]."""
+    import numpy as np
+    w16 = np.ascontiguousarray(weights, dtype=np.uint16)
+    _lib().tl_build_tables(w16.ctypes.data, v_row.ctypes.data,
+                           u_row.ctypes.data)
+
+
+def load_weights_v2(payload: bytes):
+    """Decode a V2 weight payload into the 360 u16 weight table."""
+    import numpy as np
+    from ..base.errors import DecodeError
+    w = np.zeros(360, dtype=np.uint16)
+    rc = _lib().tl_load_weights_v2(payload, len(payload),
+                                   w.ctypes.data)
+    if rc != 0:
+        raise DecodeError(f"bad weight payload: {rc}")
+    return w.astype(np.int64)
 
 
 def select_blocks(src: bytes, stream_rows):

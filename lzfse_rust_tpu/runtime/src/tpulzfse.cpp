@@ -1647,6 +1647,67 @@ long long tl_rebuild(const int* rows, size_t n_rows, const char* lits_c,
   return (long long)sink.len;
 }
 
+// Packed decode-table build mirroring ops/table_build.py EXACTLY (packed
+// int32 entry formats consumed by the Pallas kernels, including the
+// self-latching entries for states beyond an invalid total). Tables are
+// tiny (~5.6KB/block) — building them host-side at native speed and
+// uploading packed beats spending device time on the batched build.
+static void build_packed_block(const uint16_t* w, int S, int n_states,
+                               int offset, const uint8_t* extra,
+                               const int32_t* basev, bool is_u, bool is_d,
+                               int32_t* out) {
+  int n_bits = 0;
+  while ((1 << n_bits) < n_states) n_bits++;
+  int total = 0;
+  int cum_exc[256];
+  for (int i = 0; i < S; i++) { cum_exc[i] = total; total += w[i]; }
+  int sym = 0;
+  for (int s = 0; s < n_states; s++) {
+    if (s < total) {
+      while (sym < S - 1 && cum_exc[sym] + w[sym] <= s) sym++;
+      int ws = w[sym];
+      int j = s - cum_exc[sym];
+      int bl = 0, t = ws > 0 ? ws : 1;
+      while (t) { bl++; t >>= 1; }
+      int k = (n_bits + 1) - bl;
+      int x = ((n_states << 1) >> k) - ws;
+      bool head = j < x;
+      int k_e = head ? k : k - 1;
+      int km1 = k - 1 > 0 ? k - 1 : 0;
+      int delta = (head ? ((ws + j) << k) - n_states : (j - x) << km1)
+                  + offset;
+      if (is_u) out[s] = k_e | (sym << 4) | (delta << 12);
+      else {
+        int hi = is_d ? sym : basev[sym];
+        out[s] = k_e | ((int)extra[sym] << 4) | (delta << 8) | (hi << 17);
+      }
+    } else {  // latch entry: k=0, sym/bits 0, delta = state + offset
+      int delta = s + offset;
+      out[s] = is_u ? (delta << 12) : (delta << 8);
+    }
+  }
+}
+
+long long tl_build_tables(const unsigned short* w, int* v_packed,
+                          int* u_packed) {
+  build_packed_block((const uint16_t*)w, 20, L_STATES, 0, L_EXTRA, L_BASE,
+                     false, false, v_packed);
+  build_packed_block((const uint16_t*)w + 20, 20, M_STATES, L_STATES,
+                     M_EXTRA, M_BASE, false, false, v_packed + L_STATES);
+  build_packed_block((const uint16_t*)w + 40, 64, D_STATES,
+                     L_STATES + M_STATES, D_EXTRA, D_BASE, false, true,
+                     v_packed + L_STATES + M_STATES);
+  build_packed_block((const uint16_t*)w + 104, 256, U_STATES, 0, nullptr,
+                     nullptr, true, false, u_packed);
+  return 0;
+}
+
+// V2 weight-payload Huffman decode into 360 u16 weights (the host parse
+// hot spot: the Python nibble loop costs ~0.3ms/block). Returns 0 or -err.
+long long tl_load_weights_v2(const char* src, size_t n, unsigned short* w) {
+  return load_weights_v2((const uint8_t*)src, n, (uint16_t*)w);
+}
+
 // Streaming decode handles (reference pull/push streaming object roles:
 // LzfseRingDecoder / LzfseReader, src/decode/reader.rs + reader_core.rs).
 // push returns bytes consumed (may be < n only under output backpressure);

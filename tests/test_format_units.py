@@ -141,3 +141,37 @@ def test_v2_header_roundtrip():
     back, n_weights = F.load_v2_header(raw)
     assert n_weights == 77
     assert back == block
+
+
+def test_native_table_build_matches_device_build():
+    """The native packed-table builder must equal ops/table_build exactly,
+    including self-latching entries for invalid totals."""
+    import numpy as np
+    import pytest as _pytest
+
+    _pytest.importorskip("jax")
+    import jax.numpy as jnp
+
+    from lzfse_rust_tpu.ops.table_build import build_decode_tables
+    from lzfse_rust_tpu.runtime import native
+
+    if not native.available():
+        _pytest.skip("native runtime not built")
+    import pathlib
+
+    import lzfse_rust_tpu.models.decoder as M
+    fse = []
+    for p in sorted(pathlib.Path("/root/reference/data/snappy")
+                    .glob("*.lzfse"))[:4]:
+        M._parse_container(p.read_bytes(), 0, fse)
+    ws = np.stack([d.weights for d in fse]).astype(np.int32)
+    rng = np.random.default_rng(3)
+    ws = np.concatenate(
+        [ws, rng.integers(0, 40, (8, 360)).astype(np.int32)])
+    vp, vb, up = build_decode_tables(jnp.asarray(ws))
+    v2 = np.zeros((len(ws), 384), np.int32)
+    u2 = np.zeros((len(ws), 1024), np.int32)
+    for i in range(len(ws)):
+        native.build_tables_into(ws[i], v2[i], u2[i])
+    assert np.array_equal(np.asarray(vp), v2)
+    assert np.array_equal(np.asarray(up), u2)

@@ -206,3 +206,32 @@ def test_tpu_encoder_device_emission_identity(monkeypatch):
     assert enc.last_emission == "device"
     want = FE.encode_bytes(data)
     assert got == want
+
+
+def test_decode_many_pallas_path_interpret(monkeypatch):
+    """The full TpuDecoder pallas path (sorted slots, cached buffers,
+    dynamic group steps, unsort) in interpret mode on small fixtures."""
+    pytest.importorskip("jax")
+    from jax.experimental import pallas as pl
+
+    from lzfse_rust_tpu.models.decoder import TpuDecoder
+    from lzfse_rust_tpu.spec import container as spec
+
+    real_call = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **k: real_call(*a, **{**k, "interpret": True}))
+    files = [pathlib.Path("/root/reference/data/mutate/vx2.lzfse"),
+             pathlib.Path("/root/reference/data/mutate/vx1.lzfse"),
+             pathlib.Path("/root/reference/data/mutate/vxn.lzfse"),
+             pathlib.Path("/root/reference/data/special/compound.lzfse")]
+    srcs = [p.read_bytes() for p in files]
+    want = [spec.decode_bytes(s) for s in srcs]
+    dec = TpuDecoder(use_pallas=True, use_native_rebuild=True)
+    stats = {}
+    got = dec.decode_many(srcs, stats=stats)
+    assert got == want
+    assert stats.get("fallbacks", 0) == 0
+    # second call reuses the cached staging buffers; results must not bleed
+    got2 = dec.decode_many(list(reversed(srcs)))
+    assert got2 == list(reversed(want))
