@@ -319,26 +319,57 @@ class TpuDecoder:
             # into their sorted slots (they're ~5.6KB/block — cheaper to
             # upload than to build on device); device build is the fallback
             native_tables = _native_mod()
-            lit_u8 = lit_words.view(np.uint8)
-            lmd_u8 = lmd_words.view(np.uint8)
-            for i, d in enumerate(fse_blocks):
-                weights[i] = d.weights
-                lp, mp = d.lit_payload, d.lmd_payload
-                sl = inv_l[i]
-                lit_u8[sl, :len(lp)] = np.frombuffer(lp, dtype=np.uint8)
-                lit_u8[sl, len(lp):len(lp) + 8] = 0
-                lit_pos[sl] = len(lp) * 8 - d.block.literal.bits
-                lit_states[sl, :4] = d.block.literal.state
-                sm = inv_m[i]
-                lmd_u8[sm, :len(mp)] = np.frombuffer(mp, dtype=np.uint8)
-                lmd_u8[sm, len(mp):len(mp) + 8] = 0
-                ls = d.block.lmd.state
-                lmd_states[sm, :3] = (ls[0], ls[1] + C.L_STATES,
-                                      ls[2] + C.L_STATES + C.M_STATES)
-                lmd_pos[sm] = len(mp) * 8 - d.block.lmd.bits
-                if native_tables:
-                    native_tables.build_tables_into(d.weights, v_tabs[sm],
-                                                    u_tabs[sl])
+            if native_tables:
+                sl_n = inv_l[:nb]
+                sm_n = inv_m[:nb]
+                lens_l = np.zeros(nb + 1, np.int64)
+                lens_m = np.zeros(nb + 1, np.int64)
+                lit_st = np.empty((nb, 4), np.int32)
+                lmd_st = np.empty((nb, 3), np.int32)
+                lit_bits = np.empty(nb, np.int32)
+                lmd_bits = np.empty(nb, np.int32)
+                for i, d in enumerate(fse_blocks):
+                    blk = d.block
+                    lens_l[i + 1] = len(d.lit_payload)
+                    lens_m[i + 1] = len(d.lmd_payload)
+                    lit_st[i] = blk.literal.state
+                    lmd_st[i] = blk.lmd.state
+                    lit_bits[i] = blk.literal.bits
+                    lmd_bits[i] = blk.lmd.bits
+                    native_tables.build_tables_into(
+                        d.weights, v_tabs[inv_m[i]], u_tabs[inv_l[i]])
+                offs_l = np.cumsum(lens_l)
+                offs_m = np.cumsum(lens_m)
+                native_tables.scatter_rows(
+                    b"".join(d.lit_payload for d in fse_blocks), offs_l,
+                    sl_n, lit_words)
+                native_tables.scatter_rows(
+                    b"".join(d.lmd_payload for d in fse_blocks), offs_m,
+                    sm_n, lmd_words)
+                lit_pos[sl_n] = (lens_l[1:] * 8 - lit_bits).astype(np.int32)
+                lmd_pos[sm_n] = (lens_m[1:] * 8 - lmd_bits).astype(np.int32)
+                lit_states[sl_n, :4] = lit_st
+                lmd_st[:, 1] += C.L_STATES
+                lmd_st[:, 2] += C.L_STATES + C.M_STATES
+                lmd_states[sm_n, :3] = lmd_st
+            else:
+                lit_u8 = lit_words.view(np.uint8)
+                lmd_u8 = lmd_words.view(np.uint8)
+                for i, d in enumerate(fse_blocks):
+                    weights[i] = d.weights
+                    lp, mp = d.lit_payload, d.lmd_payload
+                    sl = inv_l[i]
+                    lit_u8[sl, :len(lp)] = np.frombuffer(lp, dtype=np.uint8)
+                    lit_u8[sl, len(lp):len(lp) + 8] = 0
+                    lit_pos[sl] = len(lp) * 8 - d.block.literal.bits
+                    lit_states[sl, :4] = d.block.literal.state
+                    sm = inv_m[i]
+                    lmd_u8[sm, :len(mp)] = np.frombuffer(mp, dtype=np.uint8)
+                    lmd_u8[sm, len(mp):len(mp) + 8] = 0
+                    ls = d.block.lmd.state
+                    lmd_states[sm, :3] = (ls[0], ls[1] + C.L_STATES,
+                                          ls[2] + C.L_STATES + C.M_STATES)
+                    lmd_pos[sm] = len(mp) * 8 - d.block.lmd.bits
 
             def bcast(x):
                 return jnp.asarray(

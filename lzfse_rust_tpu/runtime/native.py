@@ -61,6 +61,10 @@ def _configure(lib) -> None:
                                    ctypes.c_size_t]
     lib.tl_stream_finish.restype = ctypes.c_longlong
     lib.tl_stream_finish.argtypes = [ctypes.c_void_p]
+    lib.tl_scatter_rows.restype = ctypes.c_longlong
+    lib.tl_scatter_rows.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_size_t]
     lib.tl_build_tables.restype = ctypes.c_longlong
     lib.tl_build_tables.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                     ctypes.c_void_p]
@@ -133,6 +137,16 @@ def select_emit_fse(src: bytes, stream_rows) -> bytes:
     if n < 0:
         raise LzfseError(f"select_emit failed: {n}")
     return out.raw[:n]
+
+
+def scatter_rows(cat: bytes, offs, slots, dst) -> None:
+    """Scatter concatenated payloads into rows of the 2D staging buffer
+    `dst` at row indices `slots`, zeroing an 8-byte tail after each."""
+    import numpy as np
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    slots = np.ascontiguousarray(slots, dtype=np.int32)
+    _lib().tl_scatter_rows(cat, offs.ctypes.data, slots.ctypes.data,
+                           len(slots), dst.ctypes.data, dst.strides[0])
 
 
 def build_tables_into(weights, v_row, u_row) -> None:

@@ -1688,6 +1688,21 @@ static void build_packed_block(const uint16_t* w, int S, int n_states,
   }
 }
 
+// Batch payload scatter: copy concatenated payloads into staging-buffer
+// rows (the decode batch prep hot path). offs has n_rows+1 entries; each
+// row gets an 8-byte zero tail after its payload.
+long long tl_scatter_rows(const char* cat, const long long* offs,
+                          const int* slots, size_t n_rows, char* dst,
+                          size_t row_stride) {
+  for (size_t i = 0; i < n_rows; i++) {
+    size_t len = (size_t)(offs[i + 1] - offs[i]);
+    char* row = dst + (size_t)slots[i] * row_stride;
+    memcpy(row, cat + offs[i], len);
+    memset(row + len, 0, 8);
+  }
+  return 0;
+}
+
 long long tl_build_tables(const unsigned short* w, int* v_packed,
                           int* u_packed) {
   build_packed_block((const uint16_t*)w, 20, L_STATES, 0, L_EXTRA, L_BASE,
