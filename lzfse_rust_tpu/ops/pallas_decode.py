@@ -132,9 +132,11 @@ def _literal_kernel(ns_ref, u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
     num = num_ref[:, :]
     zero_acc = jnp.zeros((r_rows, 128), jnp.int32)
 
-    def superepoch(se, carry):
-        s, pos = carry
-        acc = zero_acc
+    def make_body(se, masked):
+        """One superepoch's compute; `masked=False` compiles the fast path
+        for superepochs where every row in the group is fully active (the
+        common case in size-sorted groups) — the activity compare and
+        freeze-selects elide."""
 
         def half(h, carry):
             s, pos, acc = carry
@@ -144,8 +146,6 @@ def _literal_kernel(ns_ref, u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
 
             def one_step(j, carry):
                 s, pos, acc = carry
-                gstep = se * SUPER + j
-                active = (gstep * 4) < num
                 ent = _lookup(u_tab_ref, s, 8)
                 k = jnp.where(lane < 4, ent & 15, 0)
                 sym = (ent >> 4) & 255
@@ -155,14 +155,19 @@ def _literal_kernel(ns_ref, u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
                 ksum = ksum + _masked_roll(ksum, 2)
                 p_lane = pos - ksum
                 bits = _extract(chunk, base_vec, p_lane, ent & 15)
-                new_s = jnp.where(active, bits + delta, s)
                 # total bits consumed = inclusive k-prefix at lane 3;
                 # roll-tree broadcast to lanes 0..3 (cheaper than a full
                 # lane min-reduce; lanes >= 4 keep a stale pos, unused)
                 t = jnp.where(lane == 3, ksum, 0)
                 t = t + pltpu.roll(t, 127, 1)
                 t = t + pltpu.roll(t, 126, 1)
-                new_pos = jnp.where(active, pos - t, pos)
+                if masked:
+                    active = ((se * SUPER + j) * 4) < num
+                    new_s = jnp.where(active, bits + delta, s)
+                    new_pos = jnp.where(active, pos - t, pos)
+                else:
+                    new_s = bits + delta
+                    new_pos = pos - t
                 # pack 4 symbols into one int32 word (valid at lane 0) and
                 # shift it into the rolling accumulator; the store flips the
                 # lane order once per superepoch — cheaper than a per-step
@@ -182,7 +187,17 @@ def _literal_kernel(ns_ref, u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
 
             return jax.lax.fori_loop(0, EPOCH // 4, step, (s, pos, acc))
 
-        s, pos, acc = jax.lax.fori_loop(0, SUPER // EPOCH, half, (s, pos, acc))
+        def body(carry):
+            s, pos = carry
+            return jax.lax.fori_loop(0, SUPER // EPOCH, half,
+                                     (s, pos, zero_acc))
+        return body
+
+    n_full = ns_ref[pl.program_id(0), 1]
+
+    def superepoch(se, carry):
+        s, pos, acc = jax.lax.cond(se < n_full, make_body(se, False),
+                                   make_body(se, True), carry)
         out_ref[:, pl.ds(pl.multiple_of(se * SUPER, SUPER), SUPER)] = \
             _flip_lanes(acc)
         return (s, pos)
@@ -211,11 +226,7 @@ def _lmd_kernel(ns_ref, v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref,
     num = num_ref[:, :]
     zero_acc = jnp.zeros((r_rows, 128), jnp.int32)
 
-    def superepoch(se, carry):
-        s, pos = carry
-        acc_lm = zero_acc
-        acc_d = zero_acc
-
+    def make_body(se, masked):
         def half(h, carry):
             s, pos, acc_lm, acc_d = carry
             _refresh(pos, win_ref, pos_s_ref, chunk_ref, r_rows, w_words)
@@ -224,8 +235,6 @@ def _lmd_kernel(ns_ref, v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref,
 
             def one_step(j, carry):
                 s, pos, acc_lm, acc_d = carry
-                gstep = se * SUPER + j
-                active = gstep < num
                 ent = _lookup(v_tab_ref, s, 3)
                 k = jnp.where(lane < 3, ent & 15, 0)
                 nb = jnp.where(lane < 3, (ent >> 4) & 15, 0)
@@ -251,14 +260,19 @@ def _lmd_kernel(ns_ref, v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref,
                     p_state < 0, 0,
                     (both.astype(jnp.uint32) >> nbu).astype(jnp.int32))
                 value = base + vbits
-                new_s = jnp.where(active, sbits + delta, s)
                 # total consumed = inclusive (k+nb)-prefix at lane 2;
                 # roll-tree broadcast to lanes 0..2 (see literal kernel)
                 t = jnp.where(lane == 2, pre + knb, 0)
                 t = t + pltpu.roll(t, 127, 1)
                 t = t + pltpu.roll(t, 126, 1)
-                new_pos = jnp.where(active, pos - t, pos)
-                value = jnp.where(active, value, 0)
+                if masked:
+                    active = (se * SUPER + j) < num
+                    new_s = jnp.where(active, sbits + delta, s)
+                    new_pos = jnp.where(active, pos - t, pos)
+                    value = jnp.where(active, value, 0)
+                else:
+                    new_s = sbits + delta
+                    new_pos = pos - t
                 lm = value + (_neg_roll(value, 1) << 16)   # l | m << 16
                 d_v = _neg_roll(value, 2)
                 acc_lm = jnp.where(lane == 0, lm, pltpu.roll(acc_lm, 1, 1))
@@ -274,8 +288,17 @@ def _lmd_kernel(ns_ref, v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref,
             return jax.lax.fori_loop(0, EPOCH // 4, step,
                                      (s, pos, acc_lm, acc_d))
 
-        s, pos, acc_lm, acc_d = jax.lax.fori_loop(
-            0, SUPER // EPOCH, half, (s, pos, acc_lm, acc_d))
+        def body(carry):
+            s, pos = carry
+            return jax.lax.fori_loop(0, SUPER // EPOCH, half,
+                                     (s, pos, zero_acc, zero_acc))
+        return body
+
+    n_full = ns_ref[pl.program_id(0), 1]
+
+    def superepoch(se, carry):
+        s, pos, acc_lm, acc_d = jax.lax.cond(
+            se < n_full, make_body(se, False), make_body(se, True), carry)
         off = pl.multiple_of(se * SUPER, SUPER)
         out_lm_ref[:, pl.ds(off, SUPER)] = _flip_lanes(acc_lm)
         out_d_ref[:, pl.ds(off, SUPER)] = _flip_lanes(acc_d)
@@ -310,13 +333,17 @@ def decode_literals_pallas(u_tab, win_words, init_states, init_pos, num,
     assert B % R_ROWS == 0
     grid = (B // R_ROWS,)
     n_out = (n_steps + SUPER - 1) // SUPER * SUPER
-    # per-group dynamic superepoch count from the actual literal fill; the
-    # caller sorts blocks by size so groups are homogeneous
+    # per-group dynamic superepoch counts from the actual literal fill; the
+    # caller sorts blocks by size so groups are homogeneous. Column 0 is the
+    # trip count; column 1 counts the leading superepochs where EVERY row is
+    # fully active (they run the maskless fast path).
     steps = (num[:, 0] + 3) // 4
-    gmax = jnp.max(steps.reshape(-1, R_ROWS), axis=1)
-    ns = jnp.minimum((gmax + SUPER - 1) // SUPER,
-                     n_out // SUPER).astype(jnp.int32).reshape(-1, 1)
-    ns_shape = (B // R_ROWS, 1)
+    g2 = steps.reshape(-1, R_ROWS)
+    n_sup = jnp.minimum((jnp.max(g2, axis=1) + SUPER - 1) // SUPER,
+                        n_out // SUPER)
+    n_full = jnp.minimum(jnp.min(g2, axis=1) // SUPER, n_sup)
+    ns = jnp.stack([n_sup, n_full], axis=1).astype(jnp.int32)
+    ns_shape = (B // R_ROWS, 2)
     kernel = functools.partial(_literal_kernel, r_rows=R_ROWS,
                                n_steps=n_steps, w_words=W)
     return pl.pallas_call(
@@ -372,14 +399,15 @@ def decode_lmds_pallas(v_tab, win_words, init_states, init_pos, num,
     assert B % R_ROWS_LMD == 0
     grid = (B // R_ROWS_LMD,)
     n_out = (n_steps + SUPER - 1) // SUPER * SUPER
-    steps = num[:, 0]
-    gmax = jnp.max(steps.reshape(-1, R_ROWS_LMD), axis=1)
-    ns = jnp.minimum((gmax + SUPER - 1) // SUPER,
-                     n_out // SUPER).astype(jnp.int32).reshape(-1, 1)
+    g2 = num[:, 0].reshape(-1, R_ROWS_LMD)
+    n_sup = jnp.minimum((jnp.max(g2, axis=1) + SUPER - 1) // SUPER,
+                        n_out // SUPER)
+    n_full = jnp.minimum(jnp.min(g2, axis=1) // SUPER, n_sup)
+    ns = jnp.stack([n_sup, n_full], axis=1).astype(jnp.int32)
     d_base_host = _np.zeros((B, 128), _np.int32)
     d_base_host[:, :_C.D_SYMBOLS] = _C.D_BASE_VALUE
     d_base = jnp.asarray(d_base_host)
-    ns_shape = (B // R_ROWS_LMD, 1)
+    ns_shape = (B // R_ROWS_LMD, 2)
     kernel = functools.partial(_lmd_kernel, r_rows=R_ROWS_LMD, n_steps=n_steps,
                                w_words=W)
     return pl.pallas_call(

@@ -91,6 +91,30 @@ def sharded_rebuild(mesh: Mesh, literals, rows, n_raw, n_out: int,
     return lz_rebuild_batch(put(literals), put(rows), put(n_raw), n_out)
 
 
+@functools.partial(jax.jit, static_argnames=("vn",))
+def _match_find_batch(src_pad, n_real, vn: bool):
+    """Batched window match finding: vmap of the single-window device
+    pipeline (ops/match_find_tpu) over a leading window axis."""
+    from ..ops.match_find_tpu import find_matches_device
+    return jax.vmap(lambda s, n: find_matches_device(s, n, vn))(
+        src_pad, n_real)
+
+
+def sharded_match_find(mesh: Mesh, windows, n_real, vn: bool = False,
+                       axis: str = "blocks"):
+    """Multi-chip encode front end: windows shard across the mesh and each
+    chip runs the candidate/LCP pipeline on its shard (the encode-side data
+    parallelism; windows are independent because each carries its own
+    history context — models/encoder.py WINDOW_CTX).
+
+    windows: (W, N) uint8 padded; n_real: (W,) int32. Returns the stacked
+    per-window (pos, cands, lcps) with the window axis unsharded.
+    """
+    sh = shard_batch(mesh, axis)
+    put = lambda x: jax.device_put(np.asarray(x), sh)
+    return _match_find_batch(put(windows), put(n_real), vn)
+
+
 def gather_compressed(mesh: Mesh, padded_blocks, lengths, axis: str = "blocks"):
     """Ordered all-gather of fixed-capacity compressed blocks + true lengths.
 
