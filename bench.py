@@ -81,20 +81,16 @@ def _device_time_injit(srcs):
     fse_blocks = []
     for i, s in enumerate(srcs):
         M._parse_container(s, i, fse_blocks)
-    B = M._bucket(len(fse_blocks), R_ROWS)
-    weights = np.zeros((B, C.N_WEIGHTS), np.int32)
-    litp = np.zeros((B, M.LIT_PAYLOAD_PAD + M._PAD_TAIL), np.uint8)
-    lmdp = np.zeros((B, M.LMD_PAYLOAD_PAD + M._PAD_TAIL), np.uint8)
-    lit_pos = np.full(B, 64, np.int32)
-    lmd_pos = np.full(B, 64, np.int32)
+    nb = len(fse_blocks)
+    B = M._round_up(max(nb, R_ROWS), R_ROWS)
+    lit_pos = np.zeros(B, np.int32)
+    lmd_pos = np.zeros(B, np.int32)
     lit_states = np.zeros((B, 4), np.int32)
     lmd_states = np.zeros((B, 3), np.int32)
     lit_num = np.zeros(B, np.int32)
     lmd_num = np.zeros(B, np.int32)
     for i, d in enumerate(fse_blocks):
         lp, mp = d.lit_payload, d.lmd_payload
-        litp[i, :len(lp)] = np.frombuffer(lp, np.uint8)
-        lmdp[i, :len(mp)] = np.frombuffer(mp, np.uint8)
         lit_pos[i] = len(lp) * 8 - d.block.literal.bits
         lmd_pos[i] = len(mp) * 8 - d.block.lmd.bits
         lit_states[i] = d.block.literal.state
@@ -106,24 +102,39 @@ def _device_time_injit(srcs):
 
     perm_l = np.argsort(-((lit_num + 3) // 4), kind="stable").astype(np.int32)
     perm_m = np.argsort(-lmd_num, kind="stable").astype(np.int32)
-    # packed tables built host-side (native engine), uploaded pre-sorted —
-    # exactly what decode_many does; the device stage is the two kernels
+    # packed tables built host-side (native engine), uploaded pre-sorted;
+    # payloads travel as the compact 512B-aligned cat and expand on device
+    # via the row gather — exactly what decode_many does. The device stage
+    # is the gathers + the two kernels.
     from lzfse_rust_tpu.runtime import native
     v_tabs = np.zeros((B, 384), np.int32)
     u_tabs = np.zeros((B, 1024), np.int32)
-    inv_l = np.argsort(perm_l)
-    inv_m = np.argsort(perm_m)
+    inv_l = np.argsort(perm_l).astype(np.int32)
+    inv_m = np.argsort(perm_m).astype(np.int32)
+    lens_l = np.array([len(d.lit_payload) for d in fse_blocks], np.int64)
+    lens_m = np.array([len(d.lmd_payload) for d in fse_blocks], np.int64)
+    w16 = np.empty((nb, C.N_WEIGHTS), np.uint16)
     for i, d in enumerate(fse_blocks):
-        native.build_tables_into(d.weights, v_tabs[inv_m[i]],
-                                 u_tabs[inv_l[i]])
+        w16[i] = d.weights
+    native.build_tables_batch(w16, inv_m[:nb], inv_l[:nb], v_tabs, u_tabs)
+    AL = M._ALIGN
+    cum = np.cumsum(np.concatenate((
+        (lens_l + AL - 1) // AL, (lens_m + AL - 1) // AL)))
+    starts_all = np.concatenate(([0], cum[:-1])).astype(np.int32)
+    start_l = np.zeros(B, np.int32)
+    start_m = np.zeros(B, np.int32)
+    start_l[inv_l[:nb]] = starts_all[:nb]
+    start_m[inv_m[:nb]] = starts_all[nb:]
+    zpad = b"\0" * AL
+    cat = b"".join(
+        [p + zpad[:-len(p) % AL or 0]
+         for p in ([d.lit_payload for d in fse_blocks]
+                   + [d.lmd_payload for d in fse_blocks])])
+    stage = M._cat_staging(len(cat))
+    stage[:len(cat)] = np.frombuffer(cat, np.uint8)
+    cat2d = stage.view(np.int32).reshape(-1, 128)
     lw = M._round_up(M.LIT_PAYLOAD_PAD // 4 + 4, 128)
     mw = M._round_up(M.LMD_PAYLOAD_PAD // 4 + 4, 128)
-    lit_words = np.zeros((B, lw), np.int32)
-    lit_words[:, :M.LIT_PAYLOAD_PAD // 4] = \
-        litp[perm_l, :M.LIT_PAYLOAD_PAD].view("<i4")
-    lmd_words = np.zeros((B, mw), np.int32)
-    lmd_words[:, :M.LMD_PAYLOAD_PAD // 4] = \
-        lmdp[perm_m, :M.LMD_PAYLOAD_PAD].view("<i4")
 
     def vec(x):
         out = np.zeros((B, 128), np.int32)
@@ -133,14 +144,24 @@ def _device_time_injit(srcs):
     def bc(x):
         return jnp.asarray(np.repeat(x[:, None], 128, 1).astype(np.int32))
 
-    args = (jnp.asarray(u_tabs), jnp.asarray(v_tabs), jnp.asarray(lit_words),
-            jnp.asarray(lmd_words), vec(lit_states[perm_l]),
+    args = (jnp.asarray(u_tabs), jnp.asarray(v_tabs),
+            jnp.asarray(np.ascontiguousarray(cat2d)),
+            jnp.asarray(start_l), jnp.asarray(start_m),
+            vec(lit_states[perm_l]),
             vec(lmd_states[perm_m]), bc(lit_pos[perm_l]), bc(lmd_pos[perm_m]),
             bc(lit_num[perm_l]), bc(lmd_num[perm_m]))
 
     @functools.partial(jax.jit, static_argnames="n_rep")
-    def pipe(UT, VT, LW, MW, LS, MS, LP, MP, LN, MN, n_rep):
+    def pipe(UT, VT, CAT, SL, SM, LS, MS, LP, MP, LN, MN, n_rep):
+        def gath(starts, w_words):
+            idx = (starts[:, None]
+                   + jnp.arange(w_words // 128, dtype=jnp.int32)[None, :])
+            return jnp.take(CAT, idx.reshape(-1), axis=0).reshape(
+                B, w_words)
+
         def body(r, acc):
+            LW = gath(SL + r - r, lw)
+            MW = gath(SM + r - r, mw)
             lits, lfs, _ = decode_literals_pallas(
                 UT + r - r, LW, LS, LP + r - r, LN,
                 C.LITERALS_PER_BLOCK // 4)

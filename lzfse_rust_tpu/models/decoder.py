@@ -177,6 +177,56 @@ def _substitute_jit(lmds):
 
 
 _PREP_CACHE: dict = {}
+_ALIGN = 512  # payload alignment in the flat upload cat (128 int32 words)
+
+
+def _prep_small(B: int):
+    """Reusable host staging for the native-assisted pallas prep: per-block
+    states/positions plus the packed decode tables (payload rows travel as
+    a compact aligned cat + device row-gather, not as padded host rows)."""
+    key = ("small", B)
+    bufs = _PREP_CACHE.get(key)
+    if bufs is None:
+        bufs = (np.zeros((B, 128), np.int32),   # lit states (lanes >=4 stay 0)
+                np.zeros((B, 128), np.int32),   # lmd states
+                np.zeros(B, np.int32),          # lit pos
+                np.zeros(B, np.int32),          # lmd pos
+                np.zeros((B, 384), np.int32),   # packed v tables (sorted)
+                np.zeros((B, 1024), np.int32),  # packed u tables (sorted)
+                np.zeros(B, np.int32),          # lit cat start chunks
+                np.zeros(B, np.int32))          # lmd cat start chunks
+        _PREP_CACHE[key] = bufs
+    return bufs
+
+
+def _cat_staging(n_bytes: int) -> np.ndarray:
+    """Cached flat buffer for the aligned payload cat, bucketed to 1MiB so
+    upload shapes stay cacheable."""
+    cap = _round_up(max(n_bytes, 1 << 20), 1 << 20)
+    key = ("cat", cap)
+    buf = _PREP_CACHE.get(key)
+    if buf is None:
+        buf = np.zeros(cap, np.uint8)
+        _PREP_CACHE[key] = buf
+    return buf
+
+
+@functools.lru_cache(maxsize=1)
+def _gather_payload_fn():
+    """Jitted device row-gather expanding the compact aligned payload cat
+    into the kernels' padded (B, w) row layout. Uploading actual payload
+    bytes (~compressed size) instead of max-width padded rows cuts the
+    host->device transfer ~5x; the row gather itself runs at ~1G rows/s."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("w_words",))
+    def go(cat2d, starts, w_words: int):
+        wc = w_words // 128
+        idx = starts[:, None] + jnp.arange(wc, dtype=jnp.int32)[None, :]
+        return jnp.take(cat2d, idx.reshape(-1), axis=0).reshape(
+            starts.shape[0], w_words)
+    return go
 
 
 def _prep_buffers(B: int, lw: int, mw: int):
@@ -290,7 +340,10 @@ class TpuDecoder:
             from ..ops.pallas_decode import (R_ROWS, decode_literals_pallas,
                                              decode_lmds_pallas)
             nb = len(fse_blocks)
-            B = _bucket(nb, R_ROWS)
+            # multiples of the kernel row-group size (not powers of two):
+            # padding rows cost real upload + kernel work, and serving
+            # batches repeat the same size so shape-cache pressure is low
+            B = _round_up(max(nb, R_ROWS), R_ROWS)
             # Sort blocks by per-kernel step count so each kernel row group
             # is homogeneous — the kernels run a dynamic per-group
             # superepoch count, skipping the dead tail of the static cap
@@ -306,53 +359,78 @@ class TpuDecoder:
             inv_l = np.argsort(perm_l).astype(np.int32)
             inv_m = np.argsort(perm_m).astype(np.int32)
 
-            # Cached np.empty buffers, payloads written straight into their
-            # sorted slots. Stale bytes above a row's payload are never
-            # extracted (the bit positions only run downward from the
-            # stream head and reads are masked), so no bulk zeroing.
             lit_w_total = _round_up(LIT_PAYLOAD_PAD // 4 + 4, 128)
             lmd_w_total = _round_up(LMD_PAYLOAD_PAD // 4 + 4, 128)
-            bufs = _prep_buffers(B, lit_w_total, lmd_w_total)
-            (weights, lit_words, lmd_words, lit_states, lmd_states,
-             lit_pos, lmd_pos, v_tabs, u_tabs) = bufs
             # packed decode tables build host-side at native speed, straight
             # into their sorted slots (they're ~5.6KB/block — cheaper to
             # upload than to build on device); device build is the fallback
             native_tables = _native_mod()
             if native_tables:
+                (lit_states, lmd_states, lit_pos, lmd_pos, v_tabs, u_tabs,
+                 start_l, start_m) = _prep_small(B)
                 sl_n = inv_l[:nb]
                 sm_n = inv_m[:nb]
-                lens_l = np.zeros(nb + 1, np.int64)
-                lens_m = np.zeros(nb + 1, np.int64)
+                lens_l = np.empty(nb, np.int64)
+                lens_m = np.empty(nb, np.int64)
                 lit_st = np.empty((nb, 4), np.int32)
                 lmd_st = np.empty((nb, 3), np.int32)
                 lit_bits = np.empty(nb, np.int32)
                 lmd_bits = np.empty(nb, np.int32)
+                w16 = np.empty((nb, C.N_WEIGHTS), np.uint16)
                 for i, d in enumerate(fse_blocks):
                     blk = d.block
-                    lens_l[i + 1] = len(d.lit_payload)
-                    lens_m[i + 1] = len(d.lmd_payload)
+                    lens_l[i] = len(d.lit_payload)
+                    lens_m[i] = len(d.lmd_payload)
                     lit_st[i] = blk.literal.state
                     lmd_st[i] = blk.lmd.state
                     lit_bits[i] = blk.literal.bits
                     lmd_bits[i] = blk.lmd.bits
-                    native_tables.build_tables_into(
-                        d.weights, v_tabs[inv_m[i]], u_tabs[inv_l[i]])
-                offs_l = np.cumsum(lens_l)
-                offs_m = np.cumsum(lens_m)
-                native_tables.scatter_rows(
-                    b"".join(d.lit_payload for d in fse_blocks), offs_l,
-                    sl_n, lit_words)
-                native_tables.scatter_rows(
-                    b"".join(d.lmd_payload for d in fse_blocks), offs_m,
-                    sm_n, lmd_words)
-                lit_pos[sl_n] = (lens_l[1:] * 8 - lit_bits).astype(np.int32)
-                lmd_pos[sm_n] = (lens_m[1:] * 8 - lmd_bits).astype(np.int32)
+                    w16[i] = d.weights
+                native_tables.build_tables_batch(w16, sm_n, sl_n,
+                                                 v_tabs, u_tabs)
+                # Payloads travel compact: each one padded to the 512-byte
+                # chunk grid in one flat cat, then a device row-gather
+                # expands chunks into the kernels' padded (B, w) rows.
+                # Garbage above a row's payload (the next block's bytes) is
+                # loaded but never extracted — bit positions only run
+                # downward from the stream head.
+                ch_l = (lens_l + _ALIGN - 1) // _ALIGN
+                ch_m = (lens_m + _ALIGN - 1) // _ALIGN
+                cum = np.cumsum(np.concatenate((ch_l, ch_m)))
+                starts_all = np.concatenate(([0], cum[:-1])).astype(np.int32)
+                start_l[:] = 0
+                start_m[:] = 0
+                start_l[sl_n] = starts_all[:nb]
+                start_m[sm_n] = starts_all[nb:]
+                lit_pos[:] = 0
+                lmd_pos[:] = 0
+                lit_pos[sl_n] = (lens_l * 8 - lit_bits).astype(np.int32)
+                lmd_pos[sm_n] = (lens_m * 8 - lmd_bits).astype(np.int32)
                 lit_states[sl_n, :4] = lit_st
                 lmd_st[:, 1] += C.L_STATES
                 lmd_st[:, 2] += C.L_STATES + C.M_STATES
                 lmd_states[sm_n, :3] = lmd_st
+                zpad = b"\0" * _ALIGN
+                parts = []
+                for d in fse_blocks:
+                    p = d.lit_payload
+                    parts.append(p)
+                    r = -len(p) % _ALIGN
+                    if r:
+                        parts.append(zpad[:r])
+                for d in fse_blocks:
+                    p = d.lmd_payload
+                    parts.append(p)
+                    r = -len(p) % _ALIGN
+                    if r:
+                        parts.append(zpad[:r])
+                cat = b"".join(parts)
+                stage = _cat_staging(len(cat))
+                stage[:len(cat)] = np.frombuffer(cat, np.uint8)
             else:
+                bufs = _prep_buffers(B, lit_w_total, lmd_w_total)
+                (weights, lit_words, lmd_words, lit_states, lmd_states,
+                 lit_pos, lmd_pos, _v_unused, _u_unused) = bufs
                 lit_u8 = lit_words.view(np.uint8)
                 lmd_u8 = lmd_words.view(np.uint8)
                 for i, d in enumerate(fse_blocks):
@@ -380,19 +458,27 @@ class TpuDecoder:
             if native_tables:
                 u_sorted = jnp.asarray(u_tabs)
                 v_sorted = jnp.asarray(v_tabs)
+                gather = _gather_payload_fn()
+                cat_dev = jnp.asarray(stage.view(np.int32).reshape(-1, 128))
+                lit_words_dev = gather(cat_dev, jnp.asarray(start_l),
+                                       w_words=lit_w_total)
+                lmd_words_dev = gather(cat_dev, jnp.asarray(start_m),
+                                       w_words=lmd_w_total)
             else:
                 v_packed, v_base, u_packed = build_decode_tables(
                     jnp.asarray(weights))
                 u_sorted = take(u_packed, jnp.asarray(perm_l))
                 v_sorted = take(v_packed, jnp.asarray(perm_m))
+                lit_words_dev = jnp.asarray(lit_words)
+                lmd_words_dev = jnp.asarray(lmd_words)
             lit_pk, lit_fs128, lit_fp128 = decode_literals_pallas(
                 u_sorted,
-                jnp.asarray(lit_words), jnp.asarray(lit_states),
+                lit_words_dev, jnp.asarray(lit_states),
                 bcast(lit_pos), bcast(lit_num[perm_l]),
                 C.LITERALS_PER_BLOCK // 4)
             lm_pk, d_pk, lmd_fs128, lmd_fp128 = decode_lmds_pallas(
                 v_sorted,
-                jnp.asarray(lmd_words), jnp.asarray(lmd_states),
+                lmd_words_dev, jnp.asarray(lmd_states),
                 bcast(lmd_pos), bcast(lmd_num[perm_m]),
                 C.LMDS_PER_BLOCK)
             literals, lmds = _unpack_fn()(
@@ -416,8 +502,10 @@ class TpuDecoder:
                       & (lmd_fs_np[:, 2] == C.L_STATES + C.M_STATES))
             lmd_ok &= lmd_fp >= 64
             fse_ok = lit_ok & lmd_ok
-            lit_arr = np.asarray(literals)
-            lmd_arr = np.asarray(lmds)
+            # ascontiguousarray: TPU downloads can arrive with non-C
+            # strides at larger batches; the native walker reads row-major
+            lit_arr = np.ascontiguousarray(np.asarray(literals))
+            lmd_arr = np.ascontiguousarray(np.asarray(lmds))
             _mark("device")
         elif fse_blocks:
             B = _bucket(len(fse_blocks), 1)
@@ -472,16 +560,91 @@ class TpuDecoder:
                       & (lmd_fs_np[:, 2] == C.L_STATES + C.M_STATES))
             lmd_ok &= np.asarray(lmd_fp) >= 64
             fse_ok = lit_ok & lmd_ok
-            lit_arr = np.asarray(literals)
-            lmd_arr = np.asarray(lmds)
+            # ascontiguousarray: TPU downloads can arrive with non-C
+            # strides at larger batches; the native walker reads row-major
+            lit_arr = np.ascontiguousarray(np.asarray(literals))
+            lmd_arr = np.ascontiguousarray(np.asarray(lmds))
             _mark("device")
         else:
             fse_ok = np.zeros(0, dtype=bool)
+            lmd_arr = np.zeros((1, 0, 3), dtype=np.int32)
 
-        # Flatten each container's parts into one row stream + literal pool.
         results: list[bytes | None] = [None] * len(sources)
+        native_mod = _native_mod() if self.use_native_rebuild else None
+        if native_mod is not None:
+            # Fused flatten + rebuild: one threaded native call walks every
+            # container's parts, reading the device kernels' decoded rows
+            # and literal pools in place (no per-container concatenate
+            # copies; the reference counterpart is the sequential fused
+            # decode+copy loop, fse_core.rs:80-141).
+            part_rows: list[tuple] = []
+            cont_off = [0]
+            out_offs = [0]
+            cont_ids: list[int] = []
+            hr_list: list[np.ndarray] = []
+            hl_list: list[np.ndarray] = []
+            hr_off = hl_off = 0
+            for ci, pc in enumerate(parsed):
+                if not all(fse_ok[p[1]] for p in pc.parts if p[0] == "fse"):
+                    # exact error semantics via the scalar spec layer
+                    if stats is not None:
+                        stats["fallbacks"] = stats.get("fallbacks", 0) + 1
+                    results[ci] = spec_container.decode_bytes(sources[ci])
+                    continue
+                for part in pc.parts:
+                    if part[0] == "fse":
+                        d = fse_blocks[part[1]]
+                        part_rows.append((0, part[1], d.block.lmd.num,
+                                          d.block.literal.num, 0))
+                    else:
+                        rows, lits = part[1], part[2]
+                        if isinstance(lits, (bytes, bytearray)):
+                            lits = np.frombuffer(lits, dtype=np.uint8)
+                        part_rows.append(
+                            (1, hr_off, len(rows), hl_off, len(lits)))
+                        hr_list.append(rows)
+                        hl_list.append(lits)
+                        hr_off += len(rows)
+                        hl_off += len(lits)
+                cont_ids.append(ci)
+                cont_off.append(len(part_rows))
+                out_offs.append(out_offs[-1] + pc.n_raw)
+            parts_np = (np.asarray(part_rows, np.int32)
+                        if part_rows else np.zeros((0, 5), np.int32))
+            host_rows = (np.ascontiguousarray(
+                np.concatenate(hr_list), dtype=np.int32)
+                if hr_list else np.zeros((1, 3), np.int32))
+            host_lits = (np.ascontiguousarray(
+                np.concatenate(hl_list), dtype=np.uint8)
+                if hl_list else np.zeros(1, np.uint8))
+            out_offs_np = np.asarray(out_offs, np.int64)
+            # cached (8MiB-bucketed) output staging: a fresh 20MB+ np.empty
+            # per call re-faults its pages inside the threaded rebuild
+            total_out = max(int(out_offs_np[-1]), 1)
+            out_key = ("out", _round_up(total_out, 8 << 20))
+            out_buf = _PREP_CACHE.get(out_key)
+            if out_buf is None:
+                out_buf = np.empty(out_key[1], np.uint8)
+                _PREP_CACHE[out_key] = out_buf
+            _mark("flatten")
+            status = native_mod.flatten_rebuild(
+                lmd_arr, lit_arr, parts_np,
+                np.asarray(cont_off, np.int32), out_offs_np,
+                host_rows, host_lits, out_buf)
+            for k, ci in enumerate(cont_ids):
+                if status[k] == parsed[ci].n_raw:
+                    results[ci] = out_buf[out_offs[k]:out_offs[k + 1]] \
+                        .tobytes()
+                else:
+                    if stats is not None:
+                        stats["fallbacks"] = stats.get("fallbacks", 0) + 1
+                    results[ci] = spec_container.decode_bytes(sources[ci])
+            _mark("rebuild")
+            return results  # type: ignore[return-value]
+
+        # Portable path: flatten each container's parts into one row stream
+        # + literal pool, then the XLA pointer-doubling rebuild.
         conts: list[tuple[int, np.ndarray, np.ndarray]] = []
-        native_jobs: list[tuple[int, np.ndarray, np.ndarray]] = []
         for ci, pc in enumerate(parsed):
             rows_list, lit_list = [], []
             valid = True
@@ -519,45 +682,9 @@ class TpuDecoder:
                     else np.zeros((0, 3), dtype=np.int32))
             lits = (np.concatenate(lit_list) if lit_list
                     else np.zeros(0, dtype=np.uint8))
-            if self.use_native_rebuild:
-                # hybrid path: entropy decode came from the device, the
-                # memory-bound copy-back runs in the native engine
-                native_jobs.append((ci, rows, lits))
-                continue
             conts.append((ci, rows, lits))
 
         _mark("flatten")
-        if native_jobs:
-            # containers are independent — rebuild them in parallel (the
-            # ctypes call releases the GIL); the reference is single-threaded
-            # here, host parallelism is free capability headroom
-            import os
-            from concurrent.futures import ThreadPoolExecutor
-            from ..runtime import native
-
-            def _job(t):
-                ci, rows, lits = t
-                try:
-                    out = native.rebuild(rows, lits.tobytes(), parsed[ci].n_raw)
-                    return ci, (out if len(out) == parsed[ci].n_raw else None)
-                except Exception:
-                    return ci, None
-
-            if len(native_jobs) == 1:
-                it = map(_job, native_jobs)
-            else:
-                pool = ThreadPoolExecutor(
-                    max_workers=min(os.cpu_count() or 1, len(native_jobs)))
-                it = pool.map(_job, native_jobs)
-            for ci, out in it:
-                if out is None:
-                    if stats is not None:
-                        stats["fallbacks"] = stats.get("fallbacks", 0) + 1
-                    out = spec_container.decode_bytes(sources[ci])
-                results[ci] = out
-            if len(native_jobs) > 1:
-                pool.shutdown()
-            _mark("rebuild")
 
         if conts:
             Bc = _bucket(len(conts))

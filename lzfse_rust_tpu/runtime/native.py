@@ -68,6 +68,15 @@ def _configure(lib) -> None:
     lib.tl_build_tables.restype = ctypes.c_longlong
     lib.tl_build_tables.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                     ctypes.c_void_p]
+    lib.tl_flatten_rebuild.restype = ctypes.c_longlong
+    lib.tl_flatten_rebuild.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t]
+    lib.tl_build_tables_batch.restype = ctypes.c_longlong
+    lib.tl_build_tables_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_void_p]
     lib.tl_load_weights_v2.restype = ctypes.c_longlong
     lib.tl_load_weights_v2.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                        ctypes.c_void_p]
@@ -156,6 +165,46 @@ def build_tables_into(weights, v_row, u_row) -> None:
     w16 = np.ascontiguousarray(weights, dtype=np.uint16)
     _lib().tl_build_tables(w16.ctypes.data, v_row.ctypes.data,
                            u_row.ctypes.data)
+
+
+def flatten_rebuild(lmd_rows, lit_rows, parts, cont_part_off, out_offs,
+                    host_rows, host_lits, out):
+    """Flatten + LZ-rebuild a batch of containers in one threaded call.
+
+    lmd_rows: (nb, LMDS, 3) int32; lit_rows: (nb, LITS) uint8; parts:
+    (n_parts, 5) int32 descriptors; cont_part_off: (n_conts+1,) int32;
+    out_offs: (n_conts+1,) int64 output segment offsets; host_rows:
+    (n_host_rows, 3) int32; host_lits: uint8; out: flat uint8 buffer.
+    Returns (n_conts,) int64 per-container bytes-written-or-negative-error.
+    """
+    import numpy as np
+    # device downloads can arrive with non-C strides (observed on the TPU
+    # backend at larger batches); the C walker reads raw row-major memory
+    lmd_rows = np.ascontiguousarray(lmd_rows, dtype=np.int32)
+    lit_rows = np.ascontiguousarray(lit_rows, dtype=np.uint8)
+    n_conts = len(out_offs) - 1
+    status = np.empty(n_conts, np.int64)
+    _lib().tl_flatten_rebuild(
+        lmd_rows.ctypes.data, lit_rows.ctypes.data,
+        lmd_rows.shape[1] * 3 if lmd_rows.ndim == 3 else 0,
+        lit_rows.shape[1] if lit_rows.ndim == 2 else 0,
+        parts.ctypes.data, cont_part_off.ctypes.data, out_offs.ctypes.data,
+        host_rows.ctypes.data, host_lits.ctypes.data, out.ctypes.data,
+        status.ctypes.data, n_conts)
+    return status
+
+
+def build_tables_batch(weights16, slots_v, slots_u, v_all, u_all) -> None:
+    """Build every block's packed decode tables in one threaded call.
+
+    weights16: (nb, 360) uint16 contiguous; slots_v/slots_u: (nb,) int32
+    destination rows; v_all: (B, 384) int32; u_all: (B, 1024) int32.
+    """
+    import numpy as np
+    assert weights16.dtype == np.uint16 and weights16.flags.c_contiguous
+    _lib().tl_build_tables_batch(
+        weights16.ctypes.data, slots_v.ctypes.data, slots_u.ctypes.data,
+        weights16.shape[0], v_all.ctypes.data, u_all.ctypes.data)
 
 
 def load_weights_v2(payload: bytes):

@@ -16,7 +16,9 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <atomic>
 #include <cstdlib>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -314,11 +316,18 @@ struct Sink {
     uint8_t* out = dst + len;
     const uint8_t* src = out - d;
     if (d >= m) { memcpy(out, src, m); }
-    else if (d >= 8) {
-      size_t done = 0;
-      while (done < m) { size_t c = d < m - done ? d : m - done; memcpy(out + done, src + done, c); done += c; }
-    } else {
-      for (uint32_t i = 0; i < m; i++) out[i] = src[i];
+    else {
+      // overlap-safe exponential widening: the copied prefix repeats with
+      // period d, so doubling the stride (a multiple of d) keeps every
+      // memcpy non-overlapping — O(log(m/d)) calls instead of a byte loop
+      // for the short-distance long runs that dominate compressible data
+      size_t done = 0, dd = d;
+      while (done < m) {
+        size_t c = dd < m - done ? dd : m - done;
+        memcpy(out + done, out + done - dd, c);
+        done += c;
+        dd <<= 1;
+      }
     }
     len += m;
     return 0;
@@ -1647,6 +1656,80 @@ long long tl_rebuild(const int* rows, size_t n_rows, const char* lits_c,
   return (long long)sink.len;
 }
 
+// Fused flatten + LZ rebuild for a batch of containers (the host half of
+// the hybrid TPU decode; replaces a Python flatten loop + per-container
+// rebuild calls). Each container is a sequence of parts: kind 0 parts read
+// the device kernels' decoded (l,m,d) rows and literal rows in place
+// (a = block row index, b = n_rows, c = literal cap), kind 1 parts read
+// host-parsed LZVN/raw rows from the concatenated side arrays (a = row
+// offset, b = n_rows, c = literal offset, d = literal length). Containers
+// rebuild in parallel (work-stealing). status[ci] = bytes written or
+// -err; callers compare against the expected n_raw and fall back to the
+// spec layer on mismatch. Reference hot loop: fse_core.rs:80-141.
+long long tl_flatten_rebuild(
+    const int* lmd_rows, const unsigned char* lit_rows, size_t lmd_stride,
+    size_t lit_stride, const int* parts, const int* cont_part_off,
+    const long long* out_offs, const int* host_rows,
+    const unsigned char* host_lits, char* out, long long* status,
+    size_t n_conts) {
+  auto run_one = [&](size_t ci) {
+    Sink sink{(uint8_t*)out + out_offs[ci],
+              (size_t)(out_offs[ci + 1] - out_offs[ci])};
+    for (int pi = cont_part_off[ci]; pi < cont_part_off[ci + 1]; pi++) {
+      const int* P = parts + (size_t)pi * 5;
+      const int* rows;
+      const uint8_t* lits;
+      size_t n_rows, lit_cap;
+      if (P[0] == 0) {
+        rows = lmd_rows + (size_t)P[1] * lmd_stride;
+        lits = lit_rows + (size_t)P[1] * lit_stride;
+        n_rows = (size_t)P[2];
+        lit_cap = (size_t)P[3];
+      } else {
+        rows = host_rows + (size_t)P[1] * 3;
+        lits = host_lits + (size_t)P[3];
+        n_rows = (size_t)P[2];
+        lit_cap = (size_t)P[4];
+      }
+      size_t li = 0;
+      for (size_t i = 0; i < n_rows; i++) {
+        uint32_t l = (uint32_t)rows[i * 3];
+        uint32_t m = (uint32_t)rows[i * 3 + 1];
+        uint32_t d = (uint32_t)rows[i * 3 + 2];
+        if (l) {
+          if (li + l > lit_cap) { status[ci] = -E_FSE; return; }
+          int rc = sink.write(lits + li, l);
+          if (rc) { status[ci] = rc; return; }
+          li += l;
+        }
+        if (m) {
+          int rc = sink.write_match(m, d);
+          if (rc) { status[ci] = rc; return; }
+        }
+      }
+    }
+    status[ci] = (long long)sink.len;
+  };
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt == 0) nt = 1;
+  if (nt > 8) nt = 8;
+  if (n_conts < 2) nt = 1;
+  std::atomic<size_t> next{0};
+  auto work = [&]() {
+    size_t ci;
+    while ((ci = next.fetch_add(1)) < n_conts) run_one(ci);
+  };
+  if (nt == 1) {
+    work();
+  } else {
+    std::vector<std::thread> th;
+    for (unsigned t = 1; t < nt; t++) th.emplace_back(work);
+    work();
+    for (auto& x : th) x.join();
+  }
+  return 0;
+}
+
 // Packed decode-table build mirroring ops/table_build.py EXACTLY (packed
 // int32 entry formats consumed by the Pallas kernels, including the
 // self-latching entries for states beyond an invalid total). Tables are
@@ -1714,6 +1797,33 @@ long long tl_build_tables(const unsigned short* w, int* v_packed,
                      v_packed + L_STATES + M_STATES);
   build_packed_block((const uint16_t*)w + 104, 256, U_STATES, 0, nullptr,
                      nullptr, true, false, u_packed);
+  return 0;
+}
+
+// Batched variant: all blocks' tables in one call, threaded (the per-call
+// ctypes overhead at a few hundred blocks/batch was ~6ms of prep time).
+// w is nb rows of 360 u16 weights; slots_v/slots_u give each block's
+// destination row in the size-sorted staging arrays.
+long long tl_build_tables_batch(const unsigned short* w, const int* slots_v,
+                                const int* slots_u, size_t nb, int* v_all,
+                                int* u_all) {
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt == 0) nt = 1;
+  if (nt > 8) nt = 8;
+  if (nb < 32) nt = 1;
+  auto work = [&](size_t t0) {
+    for (size_t i = t0; i < nb; i += nt)
+      tl_build_tables(w + i * 360, v_all + (size_t)slots_v[i] * 384,
+                      u_all + (size_t)slots_u[i] * 1024);
+  };
+  if (nt == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> th;
+    for (unsigned t = 1; t < nt; t++) th.emplace_back(work, t);
+    work(0);
+    for (auto& x : th) x.join();
+  }
   return 0;
 }
 
