@@ -73,8 +73,7 @@ def test_pallas_kernels_interpret_match_spec(block, monkeypatch):
     lw, ls, lp, ln = prep(d.lit_payload, d.block.literal.state,
                           d.block.literal.bits, d.block.literal.num,
                           (0, 0, 0, 0))
-    n_steps = ((d.block.literal.num + 3) // 4 + P.SUPER - 1) \
-        // P.SUPER * P.SUPER
+    n_steps = (d.block.literal.num + 3) // 4
     lit_pk, fs, fp = P.decode_literals_pallas(u_packed, lw, ls, lp, ln,
                                               n_steps)
     lit_pk = np.asarray(lit_pk)
@@ -94,7 +93,7 @@ def test_pallas_kernels_interpret_match_spec(block, monkeypatch):
     mw, ms, mp, mn = prep(d.lmd_payload, d.block.lmd.state,
                           d.block.lmd.bits, d.block.lmd.num,
                           (0, C.L_STATES, C.L_STATES + C.M_STATES))
-    n_steps_m = (d.block.lmd.num + P.SUPER - 1) // P.SUPER * P.SUPER
+    n_steps_m = d.block.lmd.num
     lm, dd, mfs, mfp = P.decode_lmds_pallas(v_packed, mw, ms, mp, mn,
                                             n_steps_m)
     lm = np.asarray(lm)
