@@ -10,17 +10,23 @@ Layout (per grid step, R blocks = 8 sublane rows x G lane sections):
   - every (8, 128) tensor is ONE native vreg, so each elementwise op serves
     all R blocks at once. A block occupies a 128/G-lane section of one row;
     its 4 (literals) / 3 (LMD) interleaved tANS states sit in the section's
-    first lanes. The previous layout (one block per sublane row, 64 rows)
-    spent 8 vregs per elementwise op on the same 64 blocks — sectioning
-    cuts that cost ~8x while total gather work stays constant.
-  - tables are row-blocks of G concatenated per-section tables; lookups
-    gather every section's 128-lane tiles and merge by hoisted chunk masks
-    plus the static section mask (the only composition that respects the
-    128-lane gather source limit)
-  - the backwards bitstream is read through a per-section 256-word sliding
-    chunk of the payload, refreshed every EPOCH steps by per-(row, section)
-    dynamic slices; bit positions decrease monotonically (reverse-order
-    stream, src/bits/bit_reader.rs), bounding consumption per epoch
+    first lanes.
+  - the step cost is gather-issue bound (~4 ns per (8,128) gather measured
+    via tools/microbench_step.py), so the design minimizes gathers/step:
+      * literal U tables are SPLIT: halfword-packed (k | delta<<4) pairs
+        (512 words = 4 tiles) + byte-packed symbols (256 words = 2 tiles)
+        = 6 gathers/section vs 8 for full-word entries;
+      * the backwards bitstream is read through a per-section COMPACTED
+        128-word window: at each EPOCH refresh the aligned 256-word slice
+        is gather-shifted so word i of tile c0 is stream word start+i (and
+        c1 holds start+1+i) — per-step word reads are then ONE gather each
+        instead of a 2-tile gather+select;
+      * prefix/broadcast sums use independent roll trees (parallel rolls
+        summed) rather than chained roll-accumulate — rolls are ~75 ns
+        latency but overlap when independent.
+  - bit positions decrease monotonically (reverse-order stream,
+    src/bits/bit_reader.rs), bounding consumption per epoch below the
+    126-word window coverage.
   - outputs are packed int32 lanes (4 literals/word; l|m<<16 and d words).
     Each step inserts one word at each section head and shifts the rolling
     accumulator by one lane; a full 128-lane tile stores every 128/G steps
@@ -44,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..base import constants as C
 
-EPOCH = 64   # steps between chunk refreshes; 64*54 bits = 108 words < 125
+EPOCH = 64   # steps between chunk refreshes; 64*51 bits = 102 words < 126
 R_SUB = 8    # sublane rows per grid step (one vreg)
 G_LIT = 8    # blocks (lane sections) per row, literal kernel
 G_LMD = 4    # LMD kernel: bigger windows + two outputs bound VMEM
@@ -75,29 +81,78 @@ def _lookup_sec(tab, state, n_states, g_sec, sec_id):
     return e
 
 
-def _chunk_word_sec(chunk, widx, g_sec, sec_id):
-    """chunk: (R_SUB, g_sec*256); widx in [0, 255] per lane: per-section
-    2-tile gather-select merged by the static section mask."""
-    lo = widx & 127
-    half = widx < 128
+def _split_lookup_sec(tab, state, g_sec, sec_id):
+    """Literal U lookup on the split-packed table: 6 gathers/section.
+
+    Per section (768 words): columns [0, 512) hold halfword-packed
+    (k | delta<<4) pairs (entry i in halfword i&1 of word i>>1); columns
+    [512, 768) hold byte-packed symbols (entry i in byte i&3 of word
+    512 + (i>>2)). Returns (k, delta, sym)."""
+    kd_i = state >> 1
+    kd_lo = kd_i & 127
+    kd_hi = kd_i >> 7
+    kd_masks = [kd_hi == c for c in range(1, 4)]
+    sy_lo = (state >> 2) & 127
+    sy_hi = state >> 9
+    kd = None
+    sy = None
+    for g in range(g_sec):
+        o = g * 768
+        eg = None
+        for c in range(4):
+            gv = jnp.take_along_axis(tab[:, o + c * 128:o + (c + 1) * 128],
+                                     kd_lo, axis=1)
+            eg = gv if eg is None else jnp.where(kd_masks[c - 1], gv, eg)
+        kd = eg if kd is None else jnp.where(sec_id == g, eg, kd)
+        sa = jnp.take_along_axis(tab[:, o + 512:o + 640], sy_lo, axis=1)
+        sb = jnp.take_along_axis(tab[:, o + 640:o + 768], sy_lo, axis=1)
+        sg = jnp.where(sy_hi == 0, sa, sb)
+        sy = sg if sy is None else jnp.where(sec_id == g, sg, sy)
+    kdv = (kd.astype(jnp.uint32)
+           >> ((state & 1) << 4).astype(jnp.uint32)).astype(jnp.int32)
+    sym = (sy.astype(jnp.uint32)
+           >> ((state & 3) << 3).astype(jnp.uint32)).astype(jnp.int32) & 255
+    return kdv & 15, (kdv >> 4) & 1023, sym
+
+
+def repack_u_split(u_packed):
+    """(B, 1024) full-word U entries (k | sym<<4 | delta<<12, int32) ->
+    (B, 768) split layout for _split_lookup_sec. Cheap XLA elementwise;
+    runs inside the jitted wrapper so callers keep the canonical format."""
+    B = u_packed.shape[0]
+    k = u_packed & 15
+    sym = (u_packed >> 4) & 255
+    delta = (u_packed >> 12) & 1023
+    kd = k | (delta << 4)
+    kd2 = kd.reshape(B, 512, 2)
+    kd_w = kd2[:, :, 0] | (kd2[:, :, 1] << 16)
+    sy4 = sym.reshape(B, 256, 4)
+    sy_w = (sy4[:, :, 0] | (sy4[:, :, 1] << 8)
+            | (sy4[:, :, 2] << 16) | (sy4[:, :, 3] << 24))
+    return jnp.concatenate([kd_w, sy_w], axis=1)
+
+
+def _chunk_word_c(chunk, widx, g_sec, sec_id, off):
+    """Compacted-window word read: ONE gather per section. off=0 reads the
+    c0 tiles (stream word start+widx), off=128 the c1 tiles (start+1+widx).
+    widx must already be clipped to [0, 127]."""
     w = None
     for g in range(g_sec):
-        ga = jnp.take_along_axis(chunk[:, g * 256:g * 256 + 128], lo, axis=1)
-        gb = jnp.take_along_axis(chunk[:, g * 256 + 128:g * 256 + 256], lo,
-                                 axis=1)
-        wg = jnp.where(half, ga, gb)
-        w = wg if w is None else jnp.where(sec_id == g, wg, w)
+        o = g * 256 + off
+        gv = jnp.take_along_axis(chunk[:, o:o + 128], widx, axis=1)
+        w = gv if w is None else jnp.where(sec_id == g, gv, w)
     return w
 
 
-def _extract_sec(chunk, base_vec, pos, n_bits, g_sec, sec_id):
-    """Extract n_bits starting at bit position pos from the sliding chunk
-    (zero when pos < 0, mirroring the reference's below-buffer zero reads,
-    src/bits/bit_src.rs:35-45)."""
+def _extract_c(chunk, cstart, pos, n_bits, g_sec, sec_id):
+    """Extract n_bits starting at bit position pos through the compacted
+    window (zero when pos < 0, mirroring the reference's below-buffer zero
+    reads, src/bits/bit_src.rs:35-45). cstart is the captured per-lane
+    stream word index of compacted word 0."""
     p = jnp.maximum(pos, 0)
-    widx = jnp.clip((p >> 5) - base_vec, 0, 254)
-    wlo = _chunk_word_sec(chunk, widx, g_sec, sec_id).astype(jnp.uint32)
-    whi = _chunk_word_sec(chunk, widx + 1, g_sec, sec_id).astype(jnp.uint32)
+    widx = jnp.clip((p >> 5) - cstart, 0, 127)
+    wlo = _chunk_word_c(chunk, widx, g_sec, sec_id, 0).astype(jnp.uint32)
+    whi = _chunk_word_c(chunk, widx, g_sec, sec_id, 128).astype(jnp.uint32)
     sh = (p & 31).astype(jnp.uint32)
     val = (wlo >> sh) | jnp.where(sh == 0, jnp.uint32(0),
                                   whi << (jnp.uint32(32) - sh))
@@ -117,31 +172,55 @@ def _neg_roll(x, shift):
     return pltpu.roll(x, 128 - shift, 1)
 
 
-def _chunk_base(pos, w_words):
-    """128-aligned word-index base of the 256-word sliding chunk.
-
-    Alignment is a Mosaic requirement for dynamic lane loads; `w_words` must
-    be a multiple of 128 so the clip bound stays aligned. The window covers
-    >= 125 words below the current position — an epoch's consumption bound.
-    """
+def _cstart(pos):
+    """Stream word index that compacted word 0 maps to after a refresh at
+    position `pos`: 126 words below the current word (clipped at 0). The
+    window then covers [cstart, cstart+128] — an epoch consumes at most
+    ~102 words, so every in-epoch read stays inside. Identical arithmetic
+    runs on the scalar side of _refresh_compact so both views agree."""
     p = jnp.maximum(pos, 0)
-    base = ((p >> 5) - 125) & ~127
-    return jnp.clip(base, 0, w_words - 256)
+    return jnp.maximum((p >> 5) - 126, 0)
 
 
-def _refresh_sec(pos, win_ref, pos_s_ref, chunk_ref, g_sec, w_words):
-    """Reload every (row, section) 256-word sliding chunk around its
-    position. The per-section scalar offsets come from a VMEM round-trip of
-    the position vector; the vector-side `base_vec` is recomputed with
-    identical arithmetic so scalar and vector views agree exactly."""
+def _refresh_compact(pos, win_ref, pos_s_ref, chunk_ref, g_sec, w_words):
+    """Reload + compact every (row, section) sliding window.
+
+    Scalar stage: dynamic-slice the 128-aligned 256-word window [base,
+    base+256) around each (row, section) position into chunk_ref (lane-axis
+    offsets must be 128-aligned — a Mosaic requirement). Vector stage:
+    gather-shift each section's two tiles by s = cstart - base so tile c0
+    holds stream words start..start+127 and c1 holds start+1..start+128;
+    per-step reads then cost one gather instead of a 2-tile gather+select.
+    Amortized over EPOCH steps the 5 gathers/section here are noise."""
     sw = 128 // g_sec
     pos_s_ref[:, :] = pos
     for r in range(R_SUB):
         for g in range(g_sec):
-            base = _chunk_base(pos_s_ref[r, g * sw], w_words)
+            p0 = jnp.maximum(pos_s_ref[r, g * sw], 0)
+            start = jnp.maximum((p0 >> 5) - 126, 0)
+            base = jnp.clip(start & ~127, 0, w_words - 256)
             src = pl.multiple_of(g * w_words + base, 128)
             chunk_ref[pl.ds(r, 1), pl.ds(g * 256, 256)] = \
                 win_ref[pl.ds(r, 1), pl.ds(src, 256)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R_SUB, 128), 1)
+    start_v = _cstart(pos)
+    base_v = jnp.clip(start_v & ~127, 0, w_words - 256)
+    s_v = start_v - base_v  # valid at each section's lane 0
+    for g in range(g_sec):
+        sg = jnp.take_along_axis(
+            s_v, jnp.full((R_SUB, 128), g * sw, jnp.int32), axis=1)
+        tA = chunk_ref[:, g * 256:g * 256 + 128]
+        tB = chunk_ref[:, g * 256 + 128:g * 256 + 256]
+        ia = sg + lane
+        ib = ia + 1
+        c0 = jnp.where(ia < 128,
+                       jnp.take_along_axis(tA, ia & 127, axis=1),
+                       jnp.take_along_axis(tB, ia & 127, axis=1))
+        c1 = jnp.where(ib < 128,
+                       jnp.take_along_axis(tA, ib & 127, axis=1),
+                       jnp.take_along_axis(tB, ib & 127, axis=1))
+        chunk_ref[:, g * 256:g * 256 + 128] = c0
+        chunk_ref[:, g * 256 + 128:g * 256 + 256] = c1
 
 
 def _literal_kernel(ns_ref, u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
@@ -165,28 +244,28 @@ def _literal_kernel(ns_ref, u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
 
         def body(carry):
             s, pos = carry
-            _refresh_sec(pos, win_ref, pos_s_ref, chunk_ref, g_sec, w_words)
-            base_vec = _chunk_base(pos, w_words)
+            _refresh_compact(pos, win_ref, pos_s_ref, chunk_ref, g_sec,
+                             w_words)
+            cstart = _cstart(pos)
             chunk = chunk_ref[:, :]
 
             def one_step(j, carry):
                 s, pos, acc = carry
-                ent = _lookup_sec(u_tab_ref[:, :], s, 1024, g_sec, sec_id)
-                k = jnp.where(glane < 4, ent & 15, 0)
-                sym = (ent >> 4) & 255
-                delta = ent >> 12
-                # inclusive prefix of k over each section's 4 stream lanes
-                ksum = k + _masked_roll(k, 1, glane)
-                ksum = ksum + _masked_roll(ksum, 2, glane)
+                k, delta, sym = _split_lookup_sec(u_tab_ref[:, :], s, g_sec,
+                                                  sec_id)
+                k = jnp.where(glane < 4, k, 0)
+                # independent roll trees: inclusive prefix over the 4
+                # stream lanes + section total broadcast to lanes 0..3
+                f1 = _masked_roll(k, 1, glane)
+                f2 = _masked_roll(k, 2, glane)
+                f3 = _masked_roll(k, 3, glane)
+                b1 = jnp.where(glane < 3, _neg_roll(k, 1), 0)
+                b2 = jnp.where(glane < 2, _neg_roll(k, 2), 0)
+                b3 = jnp.where(glane < 1, _neg_roll(k, 3), 0)
+                ksum = k + f1 + (f2 + f3)
+                t = ksum + b1 + (b2 + b3)
                 p_lane = pos - ksum
-                bits = _extract_sec(chunk, base_vec, p_lane, ent & 15,
-                                    g_sec, sec_id)
-                # total bits consumed = inclusive k-prefix at section lane
-                # 3; roll-tree broadcast to lanes 0..3 (cheaper than a
-                # reduce; lanes >= 4 keep a stale pos, unused)
-                t = jnp.where(glane == 3, ksum, 0)
-                t = t + pltpu.roll(t, 127, 1)
-                t = t + pltpu.roll(t, 126, 1)
+                bits = _extract_c(chunk, cstart, p_lane, k, g_sec, sec_id)
                 if masked:
                     active = ((se * EPOCH + j) * 4) < num
                     new_s = jnp.where(active, bits + delta, s)
@@ -255,8 +334,9 @@ def _lmd_kernel(ns_ref, v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref,
     def make_body(se, masked):
         def body(carry):
             s, pos = carry
-            _refresh_sec(pos, win_ref, pos_s_ref, chunk_ref, g_sec, w_words)
-            base_vec = _chunk_base(pos, w_words)
+            _refresh_compact(pos, win_ref, pos_s_ref, chunk_ref, g_sec,
+                             w_words)
+            cstart = _cstart(pos)
             chunk = chunk_ref[:, :]
 
             def one_step(j, carry):
@@ -274,13 +354,17 @@ def _lmd_kernel(ns_ref, v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref,
                 # The pulls are bit-adjacent ([extra][state] upward), so one
                 # (k+nb)-bit extract serves both (k+nb <= 23 fits a funnel).
                 knb = k + nb
-                # exclusive prefix: pre_i = sum_{j<i} knb_j
-                pre = (_masked_roll(knb, 1, glane)
-                       + _masked_roll(knb, 2, glane))
+                # exclusive prefix (independent rolls); total broadcast to
+                # lanes 0..2 via independent backward rolls
+                x1 = _masked_roll(knb, 1, glane)
+                x2 = _masked_roll(knb, 2, glane)
+                b1 = jnp.where(glane < 2, _neg_roll(knb, 1), 0)
+                b2 = jnp.where(glane < 1, _neg_roll(knb, 2), 0)
+                pre = x1 + x2
+                t = (pre + knb) + (b1 + b2)
                 p_state = pos - pre - k
                 p_extra = p_state - nb
-                both = _extract_sec(chunk, base_vec, p_extra, knb, g_sec,
-                                    sec_id)
+                both = _extract_c(chunk, cstart, p_extra, knb, g_sec, sec_id)
                 nbu = nb.astype(jnp.uint32)
                 vbits = (both.astype(jnp.uint32)
                          & ((jnp.uint32(1) << nbu) - 1)).astype(jnp.int32)
@@ -288,11 +372,6 @@ def _lmd_kernel(ns_ref, v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref,
                     p_state < 0, 0,
                     (both.astype(jnp.uint32) >> nbu).astype(jnp.int32))
                 value = base + vbits
-                # total consumed = inclusive (k+nb)-prefix at section lane
-                # 2; roll-tree broadcast to lanes 0..2 (see literal kernel)
-                t = jnp.where(glane == 2, pre + knb, 0)
-                t = t + pltpu.roll(t, 127, 1)
-                t = t + pltpu.roll(t, 126, 1)
                 if masked:
                     active = (se * EPOCH + j) < num
                     new_s = jnp.where(active, sbits + delta, s)
@@ -385,12 +464,15 @@ def decode_literals_pallas(u_tab, win_words, init_states, init_pos, num,
     """Batched 4-lane literal decode.
 
     u_tab: (B, 1024) packed int32; win_words: (B, W) uint32 LE words of the
-    padded literal payload; init_states: (B, 128) int32 (lanes 0..3, zeros
-    elsewhere); init_pos/num: (B, 128) int32 broadcast. B must be a
-    multiple of R_ROWS. Returns (packed literals (B, >=n_steps) int32,
-    final_states (B, 128), final_pos (B, 128))."""
+    padded literal payload (W >= 256, >= payload words + 3 — the compacted
+    c1 tile reads one word past the 128-word coverage); init_states:
+    (B, 128) int32 (lanes 0..3, zeros elsewhere); init_pos/num: (B, 128)
+    int32 broadcast. B must be a multiple of R_ROWS. Returns (packed
+    literals (B, >=n_steps) int32, final_states (B, 128), final_pos
+    (B, 128))."""
     B, W = win_words.shape
     assert B % R_ROWS == 0
+    assert W >= 256
     G = G_LIT
     grid = (B // R_ROWS,)
     n_se_max = (n_steps + EPOCH - 1) // EPOCH
@@ -398,6 +480,7 @@ def decode_literals_pallas(u_tab, win_words, init_states, init_pos, num,
     steps = (num[:, 0] + 3) // 4
     ns = _group_counts(steps, R_ROWS, n_se_max)
     ns_shape = (B // R_ROWS, 2)
+    u_split = repack_u_split(u_tab)
     kernel = functools.partial(_literal_kernel, g_sec=G, w_words=W)
     out, fs, fp = pl.pallas_call(
         kernel,
@@ -405,7 +488,7 @@ def decode_literals_pallas(u_tab, win_words, init_states, init_pos, num,
         in_specs=[
             pl.BlockSpec(ns_shape, lambda g: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((R_SUB, G * 1024), lambda g: (g, 0),
+            pl.BlockSpec((R_SUB, G * 768), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R_SUB, G * W), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
@@ -433,7 +516,7 @@ def decode_literals_pallas(u_tab, win_words, init_states, init_pos, num,
             pltpu.VMEM((R_SUB, G * 256), jnp.int32),
             pltpu.VMEM((R_SUB, 128), jnp.int32),
         ],
-    )(ns, u_tab.reshape(B // G, G * 1024),
+    )(ns, u_split.reshape(B // G, G * 768),
       win_words.reshape(B // G, G * W), _to_sections(init_states, G),
       _to_sections(init_pos, G), _to_sections(num, G))
     return (_untangle(out, B, G, n_se_max), _widen(fs, B, G),
@@ -454,6 +537,7 @@ def decode_lmds_pallas(v_tab, win_words, init_states, init_pos, num,
 
     B, W = win_words.shape
     assert B % R_ROWS_LMD == 0
+    assert W >= 256
     G = G_LMD
     grid = (B // R_ROWS_LMD,)
     n_se_max = (n_steps + EPOCH - 1) // EPOCH
