@@ -194,12 +194,18 @@ def bench_tpu_full_decode():
         assert got == want, f"decode mismatch on {files[i % len(srcs)].name}"
     assert stats.get("fallbacks", 0) == 0, f"spec fallbacks: {stats}"
 
-    # steady-state host stage timing (second run, compiles warm)
-    stats = {}
-    dec.decode_many(batch, stats=stats)
-    assert stats.get("fallbacks", 0) == 0
-    t_host = (stats["parse"] + stats["prep"] + stats["flatten"]
-              + stats["rebuild"])
+    # steady-state host stage timing: per-stage median of 5 warm runs (a
+    # single sample catches first-call page faults and contention with the
+    # JAX runtime's dispatch threads on this 4-core host)
+    runs = []
+    for _ in range(5):
+        stats = {}
+        dec.decode_many(batch, stats=stats)
+        assert stats.get("fallbacks", 0) == 0
+        runs.append(stats)
+    med = lambda k: sorted(r[k] for r in runs)[len(runs) // 2]
+    stats = {k: med(k) for k in ("parse", "prep", "flatten", "rebuild")}
+    t_host = sum(stats.values())
     t_dev = _device_time_injit(batch)
     total_raw = sum(len(o) for o in outs)
     t_full = t_host + t_dev

@@ -304,6 +304,182 @@ class TpuDecoder:
                 use_native_rebuild = False
         self.use_native_rebuild = use_native_rebuild
 
+    def _decode_many_walk(self, sources: list[bytes], stats: dict | None,
+                          native_mod) -> list[bytes]:
+        """Walk-based fast path: native batch container walk (parse),
+        native payload gather + table build (prep), pallas kernels
+        (device), fused native flatten/rebuild with VN/RAW parts decoded
+        straight from the sources. The Python-parse body below remains the
+        portable path and the exact-error oracle: containers the walk
+        rejects are re-parsed in Python (raising the precise exception) or
+        decoded via the spec layer."""
+        import time as _time
+        import jax.numpy as jnp
+        from ..ops.pallas_decode import (R_ROWS, decode_literals_pallas,
+                                         decode_lmds_pallas)
+
+        _t0 = _time.perf_counter()
+
+        def _mark(key):
+            nonlocal _t0
+            t = _time.perf_counter()
+            if stats is not None:
+                stats[key] = stats.get(key, 0.0) + (t - _t0)
+            _t0 = t
+
+        results: list = [None] * len(sources)
+        desc, w16, parts, cpo, cont_nraw, cont_ok = \
+            native_mod.walk_batch(sources)
+        for ci in np.flatnonzero(cont_ok == 0):
+            ci = int(ci)
+            # exact error semantics: the Python parse raises the precise
+            # exception; if it parses clean (walk stricter only by i32
+            # offsets), the spec layer decodes it correctly
+            _parse_container(sources[ci], ci, [])
+            if stats is not None:
+                stats["fallbacks"] = stats.get("fallbacks", 0) + 1
+            results[ci] = spec_container.decode_bytes(sources[ci])
+        nb = len(desc)
+        lit_w_total = _round_up(LIT_PAYLOAD_PAD // 4 + 4, 128)
+        lmd_w_total = _round_up(LMD_PAYLOAD_PAD // 4 + 4, 128)
+        _mark("parse")
+
+        if nb:
+            B = _round_up(max(nb, R_ROWS), R_ROWS)
+            litn_b = np.zeros(B, np.int32)
+            lmdn_b = np.zeros(B, np.int32)
+            litn_b[:nb] = desc[:, 1]
+            lmdn_b[:nb] = desc[:, 2]
+            # size-sorted homogeneous kernel row groups (dynamic per-group
+            # superepoch counts skip the static cap's dead tail)
+            perm_l = np.argsort(-((litn_b + 3) // 4),
+                                kind="stable").astype(np.int32)
+            perm_m = np.argsort(-lmdn_b, kind="stable").astype(np.int32)
+            inv_l = np.argsort(perm_l).astype(np.int32)
+            inv_m = np.argsort(perm_m).astype(np.int32)
+            sl_n = inv_l[:nb]
+            sm_n = inv_m[:nb]
+            (lit_states, lmd_states, lit_pos, lmd_pos, v_tabs, u_tabs,
+             start_l, start_m) = _prep_small(B)
+            native_mod.build_tables_batch(w16, sm_n, sl_n, v_tabs, u_tabs)
+            lens_l = desc[:, 6].astype(np.int64)
+            lens_m = desc[:, 8].astype(np.int64)
+            ch = np.concatenate(((lens_l + _ALIGN - 1) // _ALIGN,
+                                 (lens_m + _ALIGN - 1) // _ALIGN))
+            cum = np.cumsum(ch)
+            starts_all = np.concatenate(([0], cum[:-1])).astype(np.int32)
+            start_l[:] = 0
+            start_m[:] = 0
+            start_l[sl_n] = starts_all[:nb]
+            start_m[sm_n] = starts_all[nb:]
+            stage = _cat_staging(int(cum[-1]) * _ALIGN)
+            native_mod.gather_payloads(
+                sources, desc, starts_all[:nb].astype(np.int64) * _ALIGN,
+                starts_all[nb:].astype(np.int64) * _ALIGN, stage)
+            lit_pos[:] = 0
+            lmd_pos[:] = 0
+            lit_pos[sl_n] = (lens_l * 8 - desc[:, 3]).astype(np.int32)
+            lmd_pos[sm_n] = (lens_m * 8 - desc[:, 4]).astype(np.int32)
+            lit_states[sl_n, :4] = desc[:, 9:13]
+            lmd_st = desc[:, 13:16].copy()
+            lmd_st[:, 1] += C.L_STATES
+            lmd_st[:, 2] += C.L_STATES + C.M_STATES
+            lmd_states[sm_n, :3] = lmd_st
+
+            def bcast(x):
+                return jnp.asarray(np.ascontiguousarray(
+                    np.broadcast_to(x[:, None], (B, 128))))
+
+            take = _take_rows_fn()
+            gather = _gather_payload_fn()
+            u_sorted = jnp.asarray(u_tabs)
+            v_sorted = jnp.asarray(v_tabs)
+            cat_dev = jnp.asarray(stage.view(np.int32).reshape(-1, 128))
+            lit_words_dev = gather(cat_dev, jnp.asarray(start_l),
+                                   w_words=lit_w_total)
+            lmd_words_dev = gather(cat_dev, jnp.asarray(start_m),
+                                   w_words=lmd_w_total)
+            lit_pk, lit_fs128, lit_fp128 = decode_literals_pallas(
+                u_sorted, lit_words_dev, jnp.asarray(lit_states),
+                bcast(lit_pos), bcast(litn_b[perm_l]),
+                C.LITERALS_PER_BLOCK // 4)
+            lm_pk, d_pk, lmd_fs128, lmd_fp128 = decode_lmds_pallas(
+                v_sorted, lmd_words_dev, jnp.asarray(lmd_states),
+                bcast(lmd_pos), bcast(lmdn_b[perm_m]),
+                C.LMDS_PER_BLOCK)
+            literals, lmds = _unpack_fn()(
+                take(lit_pk, jnp.asarray(inv_l)),
+                take(lm_pk, jnp.asarray(inv_m)),
+                take(d_pk, jnp.asarray(inv_m)))
+            lmds = _substitute_jit(lmds)
+            _mark("prep")
+
+            # Stream validity (fse_core.rs:132-140 + literals.rs:79-87)
+            lit_fs = np.asarray(lit_fs128)[sl_n, :4]
+            lit_fp = np.asarray(lit_fp128)[sl_n, 0]
+            lit_ok = (lit_fs == 0).all(axis=1) & (lit_fp >= 64)
+            lmd_fs_np = np.asarray(lmd_fs128)[sm_n, :3]
+            lmd_fp = np.asarray(lmd_fp128)[sm_n, 0]
+            lmd_ok = ((lmd_fs_np[:, 0] == 0)
+                      & (lmd_fs_np[:, 1] == C.L_STATES)
+                      & (lmd_fs_np[:, 2] == C.L_STATES + C.M_STATES)
+                      & (lmd_fp >= 64))
+            fse_ok = lit_ok & lmd_ok
+            lit_arr = np.ascontiguousarray(np.asarray(literals))
+            lmd_arr = np.ascontiguousarray(np.asarray(lmds))
+            _mark("device")
+        else:
+            fse_ok = np.zeros(0, bool)
+            lit_arr = np.zeros((1, 1), np.uint8)
+            lmd_arr = np.zeros((1, 1, 3), np.int32)
+            _mark("prep")
+            _mark("device")
+
+        # per-container part slices; containers whose FSE streams failed
+        # validity fall back to the exact spec layer
+        keep_parts: list[np.ndarray] = []
+        cont_ids: list[int] = []
+        out_offs = [0]
+        for ci in np.flatnonzero(cont_ok):
+            ci = int(ci)
+            sub = parts[cpo[ci]:cpo[ci + 1]]
+            k0 = sub[sub[:, 0] == 0, 1]
+            if len(k0) and not fse_ok[k0].all():
+                if stats is not None:
+                    stats["fallbacks"] = stats.get("fallbacks", 0) + 1
+                results[ci] = spec_container.decode_bytes(sources[ci])
+                continue
+            keep_parts.append(sub)
+            cont_ids.append(ci)
+            out_offs.append(out_offs[-1] + int(cont_nraw[ci]))
+        parts_np = (np.ascontiguousarray(np.concatenate(keep_parts))
+                    if keep_parts else np.zeros((0, 6), np.int32))
+        cont_off_np = np.zeros(len(cont_ids) + 1, np.int32)
+        if keep_parts:
+            cont_off_np[1:] = np.cumsum([len(p) for p in keep_parts])
+        out_offs_np = np.asarray(out_offs, np.int64)
+        total_out = max(int(out_offs_np[-1]), 1)
+        out_key = ("out", _round_up(total_out, 8 << 20))
+        out_buf = _PREP_CACHE.get(out_key)
+        if out_buf is None:
+            out_buf = np.empty(out_key[1], np.uint8)
+            _PREP_CACHE[out_key] = out_buf
+        empty_rows = np.zeros((1, 3), np.int32)
+        empty_lits = np.zeros(1, np.uint8)
+        _mark("flatten")
+        status = native_mod.flatten_rebuild(
+            lmd_arr, lit_arr, parts_np, cont_off_np, out_offs_np,
+            empty_rows, empty_lits, out_buf, sources=sources)
+        for k, ci in enumerate(cont_ids):
+            if status[k] == int(cont_nraw[ci]):
+                results[ci] = out_buf[out_offs[k]:out_offs[k + 1]].tobytes()
+            else:
+                if stats is not None:
+                    stats["fallbacks"] = stats.get("fallbacks", 0) + 1
+                results[ci] = spec_container.decode_bytes(sources[ci])
+        _mark("rebuild")
+        return results
+
     def decode_many(self, sources: list[bytes],
                     stats: dict | None = None) -> list[bytes]:
         """Decode a batch of containers, block-parallel across all of them.
@@ -329,6 +505,11 @@ class TpuDecoder:
             if stats is not None:
                 stats[key] = stats.get(key, 0.0) + (t - _t0)
             _t0 = t
+
+        native_mod = _native_mod()
+        if (self.use_pallas and self.use_native_rebuild
+                and native_mod is not None):
+            return self._decode_many_walk(sources, stats, native_mod)
 
         fse_blocks: list[_FseBlockDesc] = []
         parsed = [_parse_container(s, i, fse_blocks)
@@ -595,13 +776,13 @@ class TpuDecoder:
                     if part[0] == "fse":
                         d = fse_blocks[part[1]]
                         part_rows.append((0, part[1], d.block.lmd.num,
-                                          d.block.literal.num, 0))
+                                          d.block.literal.num, 0, 0))
                     else:
                         rows, lits = part[1], part[2]
                         if isinstance(lits, (bytes, bytearray)):
                             lits = np.frombuffer(lits, dtype=np.uint8)
                         part_rows.append(
-                            (1, hr_off, len(rows), hl_off, len(lits)))
+                            (1, hr_off, len(rows), hl_off, len(lits), 0))
                         hr_list.append(rows)
                         hl_list.append(lits)
                         hr_off += len(rows)
@@ -610,7 +791,7 @@ class TpuDecoder:
                 cont_off.append(len(part_rows))
                 out_offs.append(out_offs[-1] + pc.n_raw)
             parts_np = (np.asarray(part_rows, np.int32)
-                        if part_rows else np.zeros((0, 5), np.int32))
+                        if part_rows else np.zeros((0, 6), np.int32))
             host_rows = (np.ascontiguousarray(
                 np.concatenate(hr_list), dtype=np.int32)
                 if hr_list else np.zeros((1, 3), np.int32))

@@ -8,6 +8,8 @@ Rust core plays (it is a 100%-native codec).
 
 from __future__ import annotations
 
+import ctypes
+
 
 def available() -> bool:
     return _lib() is not None
@@ -72,7 +74,17 @@ def _configure(lib) -> None:
     lib.tl_flatten_rebuild.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t]
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p]
+    lib.tl_walk_batch.restype = ctypes.c_longlong
+    lib.tl_walk_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.tl_gather_payloads.restype = ctypes.c_longlong
+    lib.tl_gather_payloads.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p]
     lib.tl_build_tables_batch.restype = ctypes.c_longlong
     lib.tl_build_tables_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
@@ -167,14 +179,67 @@ def build_tables_into(weights, v_row, u_row) -> None:
                            u_row.ctypes.data)
 
 
+def _src_ptrs(sources):
+    """(char** array, keepalive) for a list of bytes objects."""
+    arr = (ctypes.c_char_p * len(sources))(*sources)
+    return arr
+
+
+def walk_batch(sources):
+    """Native batch container walk (the TpuDecoder parse stage).
+
+    Returns (desc (n_fse, 20) int32, weights (n_fse, 360) uint16,
+    parts (n_parts, 6) int32, cont_part_off (n+1,) int32,
+    cont_nraw (n,) int64, cont_ok (n,) int32). Containers with cont_ok=0
+    contributed nothing; the caller re-parses them in Python for exact
+    error semantics. Part kinds: 0 = FSE (a = fse idx), 2 = LZVN payload
+    in src, 3 = RAW body in src (see tpulzfse.cpp tl_walk_batch)."""
+    import numpy as np
+    n = len(sources)
+    ptrs = _src_ptrs(sources)
+    lens = np.array([len(s) for s in sources], np.int64)
+    cap_fse, cap_parts = 512, 1024
+    while True:
+        desc = np.empty((cap_fse, 20), np.int32)
+        weights = np.empty((cap_fse, 360), np.uint16)
+        parts = np.empty((cap_parts, 6), np.int32)
+        cont_part_off = np.empty(n + 1, np.int32)
+        cont_nraw = np.empty(n, np.int64)
+        cont_ok = np.empty(n, np.int32)
+        counts = np.empty(2, np.int64)
+        rc = _lib().tl_walk_batch(
+            ctypes.addressof(ptrs), lens.ctypes.data, n,
+            desc.ctypes.data, weights.ctypes.data, cap_fse,
+            parts.ctypes.data, cap_parts, cont_part_off.ctypes.data,
+            cont_nraw.ctypes.data, cont_ok.ctypes.data,
+            counts.ctypes.data)
+        if rc == 0:
+            nf, npts = int(counts[0]), int(counts[1])
+            return (desc[:nf], weights[:nf], parts[:npts], cont_part_off,
+                    cont_nraw, cont_ok)
+        cap_fse *= 4
+        cap_parts *= 4
+
+
+def gather_payloads(sources, desc, dst_l, dst_m, stage) -> None:
+    """Copy every FSE block's payloads from the source containers into the
+    compact 512B-chunk staging buffer (replaces join+copy)."""
+    ptrs = _src_ptrs(sources)
+    _lib().tl_gather_payloads(ctypes.addressof(ptrs), desc.ctypes.data,
+                              desc.shape[0], dst_l.ctypes.data,
+                              dst_m.ctypes.data, stage.ctypes.data)
+
+
 def flatten_rebuild(lmd_rows, lit_rows, parts, cont_part_off, out_offs,
-                    host_rows, host_lits, out):
+                    host_rows, host_lits, out, sources=()):
     """Flatten + LZ-rebuild a batch of containers in one threaded call.
 
     lmd_rows: (nb, LMDS, 3) int32; lit_rows: (nb, LITS) uint8; parts:
-    (n_parts, 5) int32 descriptors; cont_part_off: (n_conts+1,) int32;
-    out_offs: (n_conts+1,) int64 output segment offsets; host_rows:
-    (n_host_rows, 3) int32; host_lits: uint8; out: flat uint8 buffer.
+    (n_parts, 6) int32 descriptors (kind 2/3 parts reference `sources`);
+    cont_part_off: (n_conts+1,) int32; out_offs: (n_conts+1,) int64 output
+    segment offsets; host_rows: (n_host_rows, 3) int32; host_lits: uint8;
+    out: flat uint8 buffer; sources: the container bytes list (only needed
+    when kind 2/3 parts are present).
     Returns (n_conts,) int64 per-container bytes-written-or-negative-error.
     """
     import numpy as np
@@ -184,13 +249,15 @@ def flatten_rebuild(lmd_rows, lit_rows, parts, cont_part_off, out_offs,
     lit_rows = np.ascontiguousarray(lit_rows, dtype=np.uint8)
     n_conts = len(out_offs) - 1
     status = np.empty(n_conts, np.int64)
+    ptrs = _src_ptrs(list(sources) or [b""])
     _lib().tl_flatten_rebuild(
         lmd_rows.ctypes.data, lit_rows.ctypes.data,
         lmd_rows.shape[1] * 3 if lmd_rows.ndim == 3 else 0,
         lit_rows.shape[1] if lit_rows.ndim == 2 else 0,
         parts.ctypes.data, cont_part_off.ctypes.data, out_offs.ctypes.data,
         host_rows.ctypes.data, host_lits.ctypes.data, out.ctypes.data,
-        status.ctypes.data, n_conts)
+        status.ctypes.data, n_conts, lit_rows.size, host_lits.size,
+        ctypes.addressof(ptrs))
     return status
 
 

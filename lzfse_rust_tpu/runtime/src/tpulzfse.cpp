@@ -303,6 +303,13 @@ static inline void e_encode(BitWr& bw, uint32_t* state, const EEntry& e) {
 
 // ============================================================== DECODE SIDE
 
+// 16-byte unaligned block move; constant size lets the compiler emit two
+// vector mov instructions instead of a libc memcpy call (the per-row call
+// overhead dominated the LZ rebuild at ~9-byte average match lengths).
+static inline void cpy16(uint8_t* d, const uint8_t* s) {
+  __builtin_memcpy(d, s, 16);
+}
+
 struct Sink {
   uint8_t* dst;
   size_t cap, len = 0;
@@ -310,13 +317,31 @@ struct Sink {
     if (len + n > cap) return -E_CAP;
     memcpy(dst + len, p, n); len += n; return 0;
   }
+  // Wide-stride variant: requires the SOURCE to have >= 15 readable bytes
+  // past p + n (callers pass padded scratch rows, never borrowed buffer
+  // tails). May scribble up to 15 bytes of slack past n in dst; the slack
+  // stays below cap and is overwritten by later emission.
+  int write_slack(const uint8_t* p, size_t n) {
+    if (len + n + 16 > cap) return write(p, n);
+    uint8_t* o = dst + len;
+    cpy16(o, p);
+    for (size_t i = 16; i < n; i += 16) cpy16(o + i, p + i);
+    len += n;
+    return 0;
+  }
   int write_match(uint32_t m, uint32_t d) {
     if (d == 0 || d > len) return -E_BADD;
     if (len + m > cap) return -E_CAP;
     uint8_t* out = dst + len;
     const uint8_t* src = out - d;
-    if (d >= m) { memcpy(out, src, m); }
-    else {
+    if (d >= 16 && len + m + 16 <= cap) {
+      // 16-byte strides are overlap-safe for d >= 16: byte j of chunk n
+      // reads position j - d <= j - 16, already written by chunk n-1
+      cpy16(out, src);
+      for (size_t i = 16; i < m; i += 16) cpy16(out + i, src + i);
+    } else if (d >= m) {
+      memcpy(out, src, m);
+    } else {
       // overlap-safe exponential widening: the copied prefix repeats with
       // period d, so doubling the stride (a multiple of d) keeps every
       // memcpy non-overlapping — O(log(m/d)) calls instead of a byte loop
@@ -447,7 +472,7 @@ struct FseDecoder {
       uint32_t d = ed.vbase + br.pull(ed.vbits);
       if (d) dist = d;
       if (lit_idx + l > h.lit_num || lit_idx + l > LITERALS_PER_BLOCK) return -E_FSE;
-      int rc = sink.write(literals + lit_idx, l);
+      int rc = sink.write_slack(literals + lit_idx, l);  // scratch has +64 pad
       if (rc) return rc;
       lit_idx += l;
       if (m) {
@@ -1644,7 +1669,9 @@ long long tl_rebuild(const int* rows, size_t n_rows, const char* lits_c,
     uint32_t d = (uint32_t)rows[i * 3 + 2];
     if (l) {
       if (li + l > n_lits) return -E_FSE;
-      int rc = sink.write(lits + li, l);
+      // wide copies only while 16B of the literal pool remain readable
+      int rc = li + l + 16 <= n_lits ? sink.write_slack(lits + li, l)
+                                     : sink.write(lits + li, l);
       if (rc) return rc;
       li += l;
     }
@@ -1658,11 +1685,15 @@ long long tl_rebuild(const int* rows, size_t n_rows, const char* lits_c,
 
 // Fused flatten + LZ rebuild for a batch of containers (the host half of
 // the hybrid TPU decode; replaces a Python flatten loop + per-container
-// rebuild calls). Each container is a sequence of parts: kind 0 parts read
-// the device kernels' decoded (l,m,d) rows and literal rows in place
-// (a = block row index, b = n_rows, c = literal cap), kind 1 parts read
-// host-parsed LZVN/raw rows from the concatenated side arrays (a = row
-// offset, b = n_rows, c = literal offset, d = literal length). Containers
+// rebuild calls). Each container is a sequence of 6-int parts
+// [kind, a, b, c, d, src_idx]: kind 0 parts read the device kernels'
+// decoded (l,m,d) rows and literal rows in place (a = block row index,
+// b = n_rows, c = literal cap); kind 1 parts read host-parsed LZVN/raw
+// rows from the concatenated side arrays (a = row offset, b = n_rows,
+// c = literal offset, d = literal length); kind 2 parts decode an LZVN
+// payload from source container src_idx at rebuild time (a = payload
+// offset, b = n_pay, c = n_raw); kind 3 parts copy a RAW body from the
+// source (a = data offset, b = n_raw). Containers
 // rebuild in parallel (work-stealing). status[ci] = bytes written or
 // -err; callers compare against the expected n_raw and fall back to the
 // spec layer on mismatch. Reference hot loop: fse_core.rs:80-141.
@@ -1671,25 +1702,40 @@ long long tl_flatten_rebuild(
     size_t lit_stride, const int* parts, const int* cont_part_off,
     const long long* out_offs, const int* host_rows,
     const unsigned char* host_lits, char* out, long long* status,
-    size_t n_conts) {
+    size_t n_conts, size_t lit_rows_total, size_t host_lits_total,
+    const char* const* srcs) {
   auto run_one = [&](size_t ci) {
     Sink sink{(uint8_t*)out + out_offs[ci],
               (size_t)(out_offs[ci + 1] - out_offs[ci])};
     for (int pi = cont_part_off[ci]; pi < cont_part_off[ci + 1]; pi++) {
-      const int* P = parts + (size_t)pi * 5;
+      const int* P = parts + (size_t)pi * 6;
+      if (P[0] == 2) {  // LZVN payload decoded straight from the source
+        int rc = decode_vn(sink, (const uint8_t*)srcs[P[5]] + P[1],
+                           (size_t)P[2], (uint32_t)P[3]);
+        if (rc) { status[ci] = rc; return; }
+        continue;
+      }
+      if (P[0] == 3) {  // RAW body copied straight from the source
+        int rc = sink.write((const uint8_t*)srcs[P[5]] + P[1],
+                            (size_t)P[2]);
+        if (rc) { status[ci] = rc; return; }
+        continue;
+      }
       const int* rows;
       const uint8_t* lits;
-      size_t n_rows, lit_cap;
+      size_t n_rows, lit_cap, lit_avail;
       if (P[0] == 0) {
         rows = lmd_rows + (size_t)P[1] * lmd_stride;
         lits = lit_rows + (size_t)P[1] * lit_stride;
         n_rows = (size_t)P[2];
         lit_cap = (size_t)P[3];
+        lit_avail = lit_rows_total - (size_t)P[1] * lit_stride;
       } else {
         rows = host_rows + (size_t)P[1] * 3;
         lits = host_lits + (size_t)P[3];
         n_rows = (size_t)P[2];
         lit_cap = (size_t)P[4];
+        lit_avail = host_lits_total - (size_t)P[3];
       }
       size_t li = 0;
       for (size_t i = 0; i < n_rows; i++) {
@@ -1698,7 +1744,11 @@ long long tl_flatten_rebuild(
         uint32_t d = (uint32_t)rows[i * 3 + 2];
         if (l) {
           if (li + l > lit_cap) { status[ci] = -E_FSE; return; }
-          int rc = sink.write(lits + li, l);
+          // wide copies while 16B past the literal run stay readable in
+          // the pool allocation (tail rows fall back to exact memcpy)
+          int rc = li + l + 16 <= lit_avail
+                       ? sink.write_slack(lits + li, l)
+                       : sink.write(lits + li, l);
           if (rc) { status[ci] = rc; return; }
           li += l;
         }
@@ -1831,6 +1881,177 @@ long long tl_build_tables_batch(const unsigned short* w, const int* slots_v,
 // hot spot: the Python nibble loop costs ~0.3ms/block). Returns 0 or -err.
 long long tl_load_weights_v2(const char* src, size_t n, unsigned short* w) {
   return load_weights_v2((const uint8_t*)src, n, (uint16_t*)w);
+}
+
+// Native batch container walk (the TpuDecoder parse stage; replaces the
+// per-block Python loop, ~33us/block). Walks every container, validating
+// exactly like the Python parse (header load, weight Huffman decode,
+// BitReader init-pad check, payload bounds), and emits flat descriptor
+// arrays the batch prep consumes directly:
+//   desc   (cap_fse, 20) i32: [0]=container [1]=lit_num [2]=lmd_num
+//     [3]=lit_bits [4]=lmd_bits [5]=lit_off (src offset, incl. 8 lead
+//     bytes) [6]=lit_len (=lit_pay+8) [7]=lmd_off [8]=lmd_len
+//     [9..12]=lit_state [13..15]=lmd_state [16]=n_raw_bytes
+//   weights (cap_fse, 360) u16
+//   parts  (cap_parts, 6) i32: [kind, a, b, c, d, container] with
+//     kind 0 = FSE (a = global fse index), kind 2 = LZVN payload in src
+//     (a = payload off, b = n_pay, c = n_raw), kind 3 = RAW body in src
+//     (a = data off, b = n_raw). VN/RAW bodies are NOT parsed here — the
+//     fused rebuild decodes them straight from src (zero copies).
+//   cont_part_off (n_srcs+1) i32, cont_nraw (n_srcs) i64,
+//   cont_ok (n_srcs) i32 (1 = parsed clean; 0 = caller re-parses that
+//     container in Python for exact error semantics).
+// counts_out[0]=n_fse, [1]=n_parts. Returns 0, or -E_CAP when a capacity
+// is exhausted (caller doubles and retries).
+long long tl_walk_batch(const char* const* srcs, const long long* lens,
+                        size_t n_srcs, int* desc, unsigned short* weights,
+                        size_t cap_fse, int* parts, size_t cap_parts,
+                        int* cont_part_off, long long* cont_nraw,
+                        int* cont_ok, long long* counts_out) {
+  size_t n_fse = 0, n_parts = 0;
+  for (size_t ci = 0; ci < n_srcs; ci++) {
+    const uint8_t* src = (const uint8_t*)srcs[ci];
+    size_t n = (size_t)lens[ci];
+    cont_part_off[ci] = (int)n_parts;
+    cont_nraw[ci] = 0;
+    cont_ok[ci] = 0;
+    if (n > 0x7FFFFFFFull) continue;  // i32 offsets; Python path handles
+    size_t pos = 0;
+    size_t fse_mark = n_fse, part_mark = n_parts;
+    int64_t nraw_acc = 0;
+    bool ok = false;
+    for (;;) {
+      if (n - pos < 4) break;
+      uint32_t magic = rd32(src + pos);
+      if (magic == MAGIC_EOS) {
+        pos += 4;
+        ok = pos == n;
+        break;
+      }
+      if (magic == MAGIC_VX2 || magic == MAGIC_VX1) {
+        FseHeader h;
+        uint32_t n_weights;
+        size_t header;
+        if (magic == MAGIC_VX2) {
+          if (n - pos < (size_t)V2_HEADER) break;
+          parse_v2_header(src + pos, &h, &n_weights);
+          if (n_weights > (uint32_t)V2_WEIGHTS_MAX) break;
+          header = V2_HEADER;
+        } else {
+          if (n - pos < (size_t)V1_HEADER) break;
+          if (parse_v1_header(src + pos, &h)) break;
+          n_weights = V1_WEIGHTS;
+          header = V1_HEADER;
+        }
+        if (!validate_header(h)) break;
+        if (n - pos < header + n_weights + h.lit_pay + h.lmd_pay) break;
+        if (n_fse >= cap_fse || n_parts >= cap_parts) return -E_CAP;
+        uint16_t* w = weights + n_fse * N_WEIGHTS;
+        if (magic == MAGIC_VX2) {
+          if (load_weights_v2(src + pos + header, n_weights, w)) break;
+        } else {
+          for (int i = 0; i < N_WEIGHTS; i++)
+            w[i] = rd16(src + pos + header + 2 * i);
+        }
+        size_t pay = pos + header + n_weights;
+        // BitReader init-pad checks (bit_reader.rs:25-27): bits above the
+        // declared head of each backwards stream must be zero
+        const uint8_t* lit_end = src + pay + h.lit_pay;
+        const uint8_t* lmd_end = lit_end + h.lmd_pay;
+        if (h.lit_bits && (rd64(lit_end - 8) >> (64 - h.lit_bits))) break;
+        if (h.lmd_bits && (rd64(lmd_end - 8) >> (64 - h.lmd_bits))) break;
+        int* D = desc + n_fse * 20;
+        D[0] = (int)ci;
+        D[1] = (int)h.lit_num; D[2] = (int)h.lmd_num;
+        D[3] = (int)h.lit_bits; D[4] = (int)h.lmd_bits;
+        D[5] = (int)(pay - 8); D[6] = (int)(h.lit_pay + 8);
+        D[7] = (int)(pay + h.lit_pay); D[8] = (int)h.lmd_pay;
+        for (int i = 0; i < 4; i++) D[9 + i] = h.lit_state[i];
+        for (int i = 0; i < 3; i++) D[13 + i] = h.lmd_state[i];
+        D[16] = (int)h.n_raw_bytes; D[17] = D[18] = D[19] = 0;
+        int* P = parts + n_parts * 6;
+        // pre-shaped as a flatten part: [0, block row, n_rows, lit cap]
+        P[0] = 0; P[1] = (int)n_fse; P[2] = (int)h.lmd_num;
+        P[3] = (int)h.lit_num; P[4] = 0; P[5] = (int)ci;
+        n_fse++; n_parts++;
+        nraw_acc += h.n_raw_bytes;
+        pos += header + n_weights + h.lit_pay + h.lmd_pay;
+      } else if (magic == MAGIC_VXN) {
+        if (n - pos < 12) break;
+        uint32_t n_raw = rd32(src + pos + 4), n_pay = rd32(src + pos + 8);
+        if (n - pos < 12 + (size_t)n_pay) break;
+        if (n_parts >= cap_parts) return -E_CAP;
+        int* P = parts + n_parts * 6;
+        P[0] = 2; P[1] = (int)(pos + 12); P[2] = (int)n_pay;
+        P[3] = (int)n_raw; P[4] = 0; P[5] = (int)ci;
+        n_parts++;
+        nraw_acc += n_raw;
+        pos += 12 + n_pay;
+      } else if (magic == MAGIC_RAW) {
+        if (n - pos < 8) break;
+        uint32_t n_raw = rd32(src + pos + 4);
+        if (n - pos < 8 + (size_t)n_raw) break;
+        if (n_parts >= cap_parts) return -E_CAP;
+        int* P = parts + n_parts * 6;
+        P[0] = 3; P[1] = (int)(pos + 8); P[2] = (int)n_raw;
+        P[3] = 0; P[4] = 0; P[5] = (int)ci;
+        n_parts++;
+        nraw_acc += n_raw;
+        pos += 8 + n_raw;
+      } else {
+        break;
+      }
+    }
+    if (ok) {
+      cont_nraw[ci] = nraw_acc;
+      cont_ok[ci] = 1;
+    } else {
+      // rewind this container's contributions; Python re-parses it
+      n_fse = fse_mark;
+      n_parts = part_mark;
+    }
+  }
+  cont_part_off[n_srcs] = (int)n_parts;
+  counts_out[0] = (long long)n_fse;
+  counts_out[1] = (long long)n_parts;
+  return 0;
+}
+
+// Batch payload gather: copy every FSE block's literal and LMD payloads
+// from the source containers straight into the compact 512B-chunk staging
+// buffer (replaces the Python bytes join + copy — one memcpy instead of
+// three). dst_l/dst_m are byte offsets into stage; pads each payload's
+// final chunk with zeros. Threaded over blocks.
+long long tl_gather_payloads(const char* const* srcs, const int* desc,
+                             size_t nb, const long long* dst_l,
+                             const long long* dst_m, char* stage) {
+  auto fill = [&](size_t i) {
+    const int* D = desc + i * 20;
+    const char* s = srcs[D[0]];
+    size_t ll = (size_t)D[6], lm = (size_t)D[8];
+    memcpy(stage + dst_l[i], s + D[5], ll);
+    memset(stage + dst_l[i] + ll, 0, (size_t)(-(long long)ll & 511));
+    memcpy(stage + dst_m[i], s + D[7], lm);
+    memset(stage + dst_m[i] + lm, 0, (size_t)(-(long long)lm & 511));
+  };
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt == 0) nt = 1;
+  if (nt > 4) nt = 4;
+  if (nb < 16) nt = 1;
+  if (nt == 1) {
+    for (size_t i = 0; i < nb; i++) fill(i);
+  } else {
+    std::atomic<size_t> next{0};
+    auto work = [&]() {
+      size_t i;
+      while ((i = next.fetch_add(1)) < nb) fill(i);
+    };
+    std::vector<std::thread> th;
+    for (unsigned t = 1; t < nt; t++) th.emplace_back(work);
+    work();
+    for (auto& x : th) x.join();
+  }
+  return 0;
 }
 
 // Streaming decode handles (reference pull/push streaming object roles:
