@@ -199,6 +199,12 @@ def _prep_small(B: int):
     return bufs
 
 
+def _w_bucket(n_bytes: int) -> int:
+    """Payload window width (int32 words) for the largest payload in a
+    batch, in 1024-word buckets (>= payload words + 4 slack)."""
+    return max(_round_up(_round_up(n_bytes // 4 + 4, 128), 1024), 1024)
+
+
 def _cat_staging(n_bytes: int) -> np.ndarray:
     """Cached flat buffer for the aligned payload cat, bucketed to 1MiB so
     upload shapes stay cacheable."""
@@ -340,8 +346,6 @@ class TpuDecoder:
                 stats["fallbacks"] = stats.get("fallbacks", 0) + 1
             results[ci] = spec_container.decode_bytes(sources[ci])
         nb = len(desc)
-        lit_w_total = _round_up(LIT_PAYLOAD_PAD // 4 + 4, 128)
-        lmd_w_total = _round_up(LMD_PAYLOAD_PAD // 4 + 4, 128)
         _mark("parse")
 
         if nb:
@@ -364,6 +368,12 @@ class TpuDecoder:
             native_mod.build_tables_batch(w16, sm_n, sl_n, v_tabs, u_tabs)
             lens_l = desc[:, 6].astype(np.int64)
             lens_m = desc[:, 8].astype(np.int64)
+            # payload window widths bucketed to the batch maximum: smaller
+            # windows shrink kernel VMEM (enabling the 16-section layout)
+            # and cut device gather volume; 1024-word steps bound the
+            # number of live kernel compilations
+            lit_w_total = _w_bucket(int(lens_l.max()))
+            lmd_w_total = _w_bucket(int(lens_m.max()))
             ch = np.concatenate(((lens_l + _ALIGN - 1) // _ALIGN,
                                  (lens_m + _ALIGN - 1) // _ALIGN))
             cum = np.cumsum(ch)

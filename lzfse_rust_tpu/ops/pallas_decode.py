@@ -11,6 +11,19 @@ Layout (per grid step, R blocks = 8 sublane rows x G lane sections):
     all R blocks at once. A block occupies a 128/G-lane section of one row;
     its 4 (literals) / 3 (LMD) interleaved tANS states sit in the section's
     first lanes.
+  - the grid is 2-D: (row group, superepoch). Output blocks are indexed by
+    BOTH dims, so only one superepoch's tiles sit in VMEM at a time — that
+    is what lets G reach 16 (128 blocks per vreg row) within the scoped
+    VMEM limit. tANS states/positions carry across the inner superepoch
+    grid dim in scratch; input blocks are indexed by the row group only,
+    so Mosaic never refetches them within a group. Superepochs beyond a
+    group's dynamic fill skip their body via pl.when (their output tiles
+    are left unwritten — callers never read past each block's num).
+  - G is chosen per call from the (bucketed) payload window width: 16 when
+    the windows fit VMEM double-buffered, else 8. Window widths themselves
+    are bucketed by the caller (decode_many) to the batch maximum, which
+    is what makes G=16 typical: format-cap windows only force G=8 when a
+    batch actually contains near-cap payloads.
   - the step cost is gather-issue bound (~4 ns per (8,128) gather measured
     via tools/microbench_step.py), so the design minimizes gathers/step:
       * literal U tables are SPLIT: halfword-packed (k | delta<<4) pairs
@@ -52,11 +65,18 @@ from ..base import constants as C
 
 EPOCH = 64   # steps between chunk refreshes; 64*51 bits = 102 words < 126
 R_SUB = 8    # sublane rows per grid step (one vreg)
-G_LIT = 8    # blocks (lane sections) per row, literal kernel
-G_LMD = 4    # LMD kernel: bigger windows + two outputs bound VMEM
 
-R_ROWS = R_SUB * G_LIT      # blocks per literal grid step (= 64)
-R_ROWS_LMD = R_SUB * G_LMD  # blocks per LMD grid step (= 32)
+# Batch granularity: B must be a multiple of every possible R_SUB * G, so
+# callers round up to 128 (covers G in {8, 16} for both kernels).
+R_ROWS = 128
+R_ROWS_LMD = 128
+
+
+def _pick_g(w_words: int, two_outputs: bool) -> int:
+    """Sections per row: 16 when the double-buffered (8, G*W) windows plus
+    tables fit the ~16MB scoped-VMEM budget, else 8."""
+    limit = 8192 if two_outputs else 10240
+    return 16 if w_words <= limit else 8
 
 
 def _lookup_sec(tab, state, n_states, g_sec, sec_id):
@@ -225,18 +245,27 @@ def _refresh_compact(pos, win_ref, pos_s_ref, chunk_ref, g_sec, w_words):
 
 def _literal_kernel(ns_ref, u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
                     out_ref, fs_ref, fpos_ref,
-                    chunk_ref, pos_s_ref, *, g_sec, w_words):
+                    chunk_ref, pos_s_ref, s_c_ref, p_c_ref, *, g_sec,
+                    w_words):
     sw = 128 // g_sec
     n_st = EPOCH // sw  # output tiles stored per superepoch
+    se = pl.program_id(1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (R_SUB, 128), 1)
     glane = lane & (sw - 1)
     sec_id = lane >> (sw.bit_length() - 1)
-    states0 = s_init_ref[:, :]
-    pos0 = pos_ref[:, :]
     num = num_ref[:, :]
     zero_acc = jnp.zeros((R_SUB, 128), jnp.int32)
 
-    def make_body(se, masked):
+    @pl.when(se == 0)
+    def _init():
+        # carry scratch init + final outputs for groups that never run a
+        # superepoch (all-empty streams must report their initial states)
+        s_c_ref[:, :] = s_init_ref[:, :]
+        p_c_ref[:, :] = pos_ref[:, :]
+        fs_ref[:, :] = s_init_ref[:, :]
+        fpos_ref[:, :] = pos_ref[:, :]
+
+    def make_body(masked):
         """One superepoch (EPOCH steps); `masked=False` compiles the fast
         path for superepochs where every block in the group is fully active
         (the common case in size-sorted groups) — the activity compare and
@@ -297,41 +326,47 @@ def _literal_kernel(ns_ref, u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
 
         return body
 
+    # dynamic trip: superepochs past this group's actual fill skip their
+    # body (blocks were size-sorted into homogeneous groups); their output
+    # tiles are left unwritten — callers never read past a block's num
+    n_super = ns_ref[pl.program_id(0), 0]
     n_full = ns_ref[pl.program_id(0), 1]
 
-    def superepoch(se, carry):
-        out = jax.lax.cond(se < n_full, make_body(se, False),
-                           make_body(se, True), carry)
+    @pl.when(se < n_super)
+    def _run():
+        carry = (s_c_ref[:, :], p_c_ref[:, :])
+        out = jax.lax.cond(se < n_full, make_body(False), make_body(True),
+                           carry)
         s, pos = out[0], out[1]
         for q in range(n_st):
-            off = pl.multiple_of((se * n_st + q) * 128, 128)
-            out_ref[:, pl.ds(off, 128)] = out[2 + q]
-        return (s, pos)
-
-    # dynamic trip count: this group's blocks were sorted by size, so the
-    # scalar-prefetched superepoch count skips the dead tail the static cap
-    # would otherwise burn (corpus mean literal fill is ~29% of the cap)
-    n_super = ns_ref[pl.program_id(0), 0]
-    s, pos = jax.lax.fori_loop(0, n_super, superepoch, (states0, pos0))
-    fs_ref[:, :] = s
-    fpos_ref[:, :] = pos
+            out_ref[:, pl.ds(q * 128, 128)] = out[2 + q]
+        s_c_ref[:, :] = s
+        p_c_ref[:, :] = pos
+        fs_ref[:, :] = s
+        fpos_ref[:, :] = pos
 
 
 def _lmd_kernel(ns_ref, v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref,
                 num_ref, out_lm_ref, out_d_ref, fs_ref, fpos_ref,
-                chunk_ref, pos_s_ref, *, g_sec, w_words):
+                chunk_ref, pos_s_ref, s_c_ref, p_c_ref, *, g_sec, w_words):
     sw = 128 // g_sec
     n_st = EPOCH // sw
+    se = pl.program_id(1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (R_SUB, 128), 1)
     glane = lane & (sw - 1)
     sec_id = lane >> (sw.bit_length() - 1)
     d_base_row = d_base_ref[:, :]  # (R_SUB, 128): lanes 0..63 = D_BASE_VALUE
-    states0 = s_init_ref[:, :]
-    pos0 = pos_ref[:, :]
     num = num_ref[:, :]
     zero_acc = jnp.zeros((R_SUB, 128), jnp.int32)
 
-    def make_body(se, masked):
+    @pl.when(se == 0)
+    def _init():
+        s_c_ref[:, :] = s_init_ref[:, :]
+        p_c_ref[:, :] = pos_ref[:, :]
+        fs_ref[:, :] = s_init_ref[:, :]
+        fpos_ref[:, :] = pos_ref[:, :]
+
+    def make_body(masked):
         def body(carry):
             s, pos = carry
             _refresh_compact(pos, win_ref, pos_s_ref, chunk_ref, g_sec,
@@ -401,22 +436,22 @@ def _lmd_kernel(ns_ref, v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref,
 
         return body
 
+    n_super = ns_ref[pl.program_id(0), 0]
     n_full = ns_ref[pl.program_id(0), 1]
 
-    def superepoch(se, carry):
-        out = jax.lax.cond(se < n_full, make_body(se, False),
-                           make_body(se, True), carry)
+    @pl.when(se < n_super)
+    def _run():
+        carry = (s_c_ref[:, :], p_c_ref[:, :])
+        out = jax.lax.cond(se < n_full, make_body(False), make_body(True),
+                           carry)
         s, pos = out[0], out[1]
         for q in range(n_st):
-            off = pl.multiple_of((se * n_st + q) * 128, 128)
-            out_lm_ref[:, pl.ds(off, 128)] = out[2 + 2 * q]
-            out_d_ref[:, pl.ds(off, 128)] = out[3 + 2 * q]
-        return (s, pos)
-
-    n_super = ns_ref[pl.program_id(0), 0]
-    s, pos = jax.lax.fori_loop(0, n_super, superepoch, (states0, pos0))
-    fs_ref[:, :] = s
-    fpos_ref[:, :] = pos
+            out_lm_ref[:, pl.ds(q * 128, 128)] = out[2 + 2 * q]
+            out_d_ref[:, pl.ds(q * 128, 128)] = out[3 + 2 * q]
+        s_c_ref[:, :] = s
+        p_c_ref[:, :] = pos
+        fs_ref[:, :] = s
+        fpos_ref[:, :] = pos
 
 
 def _group_counts(steps, group, n_se_max):
@@ -473,38 +508,40 @@ def decode_literals_pallas(u_tab, win_words, init_states, init_pos, num,
     B, W = win_words.shape
     assert B % R_ROWS == 0
     assert W >= 256
-    G = G_LIT
-    grid = (B // R_ROWS,)
+    G = _pick_g(W, False)
+    rows = R_SUB * G
     n_se_max = (n_steps + EPOCH - 1) // EPOCH
-    n_cols = n_se_max * (EPOCH // (128 // G)) * 128
+    n_st = EPOCH // (128 // G)
+    n_cols = n_se_max * n_st * 128
+    grid = (B // rows, n_se_max)
     steps = (num[:, 0] + 3) // 4
-    ns = _group_counts(steps, R_ROWS, n_se_max)
-    ns_shape = (B // R_ROWS, 2)
+    ns = _group_counts(steps, rows, n_se_max)
+    ns_shape = (B // rows, 2)
     u_split = repack_u_split(u_tab)
     kernel = functools.partial(_literal_kernel, g_sec=G, w_words=W)
     out, fs, fp = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(ns_shape, lambda g: (0, 0),
+            pl.BlockSpec(ns_shape, lambda g, se: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((R_SUB, G * 768), lambda g: (g, 0),
+            pl.BlockSpec((R_SUB, G * 768), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, G * W), lambda g: (g, 0),
+            pl.BlockSpec((R_SUB, G * W), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, 128), lambda g: (g, 0),
+            pl.BlockSpec((R_SUB, 128), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, 128), lambda g: (g, 0),
+            pl.BlockSpec((R_SUB, 128), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, 128), lambda g: (g, 0),
+            pl.BlockSpec((R_SUB, 128), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((R_SUB, n_cols), lambda g: (g, 0),
+            pl.BlockSpec((R_SUB, n_st * 128), lambda g, se: (g, se),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, 128), lambda g: (g, 0),
+            pl.BlockSpec((R_SUB, 128), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, 128), lambda g: (g, 0),
+            pl.BlockSpec((R_SUB, 128), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -514,6 +551,8 @@ def decode_literals_pallas(u_tab, win_words, init_states, init_pos, num,
         ],
         scratch_shapes=[
             pltpu.VMEM((R_SUB, G * 256), jnp.int32),
+            pltpu.VMEM((R_SUB, 128), jnp.int32),
+            pltpu.VMEM((R_SUB, 128), jnp.int32),
             pltpu.VMEM((R_SUB, 128), jnp.int32),
         ],
     )(ns, u_split.reshape(B // G, G * 768),
@@ -538,43 +577,45 @@ def decode_lmds_pallas(v_tab, win_words, init_states, init_pos, num,
     B, W = win_words.shape
     assert B % R_ROWS_LMD == 0
     assert W >= 256
-    G = G_LMD
-    grid = (B // R_ROWS_LMD,)
+    G = _pick_g(W, True)
+    rows = R_SUB * G
     n_se_max = (n_steps + EPOCH - 1) // EPOCH
-    n_cols = n_se_max * (EPOCH // (128 // G)) * 128
-    ns = _group_counts(num[:, 0], R_ROWS_LMD, n_se_max)
+    n_st = EPOCH // (128 // G)
+    n_cols = n_se_max * n_st * 128
+    grid = (B // rows, n_se_max)
+    ns = _group_counts(num[:, 0], rows, n_se_max)
     d_base_host = _np.zeros((B // G, 128), _np.int32)
     d_base_host[:, :_C.D_SYMBOLS] = _C.D_BASE_VALUE
     d_base = jnp.asarray(d_base_host)
-    ns_shape = (B // R_ROWS_LMD, 2)
+    ns_shape = (B // rows, 2)
     kernel = functools.partial(_lmd_kernel, g_sec=G, w_words=W)
     lm, dd, fs, fp = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(ns_shape, lambda g: (0, 0),
+            pl.BlockSpec(ns_shape, lambda g, se: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((R_SUB, G * 384), lambda g: (g, 0),
+            pl.BlockSpec((R_SUB, G * 384), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, 128), lambda g: (g, 0),
+            pl.BlockSpec((R_SUB, 128), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, G * W), lambda g: (g, 0),
+            pl.BlockSpec((R_SUB, G * W), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, 128), lambda g: (g, 0),
+            pl.BlockSpec((R_SUB, 128), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, 128), lambda g: (g, 0),
+            pl.BlockSpec((R_SUB, 128), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, 128), lambda g: (g, 0),
+            pl.BlockSpec((R_SUB, 128), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((R_SUB, n_cols), lambda g: (g, 0),
+            pl.BlockSpec((R_SUB, n_st * 128), lambda g, se: (g, se),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, n_cols), lambda g: (g, 0),
+            pl.BlockSpec((R_SUB, n_st * 128), lambda g, se: (g, se),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, 128), lambda g: (g, 0),
+            pl.BlockSpec((R_SUB, 128), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, 128), lambda g: (g, 0),
+            pl.BlockSpec((R_SUB, 128), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -585,6 +626,8 @@ def decode_lmds_pallas(v_tab, win_words, init_states, init_pos, num,
         ],
         scratch_shapes=[
             pltpu.VMEM((R_SUB, G * 256), jnp.int32),
+            pltpu.VMEM((R_SUB, 128), jnp.int32),
+            pltpu.VMEM((R_SUB, 128), jnp.int32),
             pltpu.VMEM((R_SUB, 128), jnp.int32),
         ],
     )(ns, v_tab.reshape(B // G, G * 384), d_base,
