@@ -205,6 +205,17 @@ def _w_bucket(n_bytes: int) -> int:
     return max(_round_up(_round_up(n_bytes // 4 + 4, 128), 1024), 1024)
 
 
+def _small_staging(B: int) -> np.ndarray:
+    """Cached (B, 16) packed small-parameter staging (see
+    _expand_smalls_fn for the column layout)."""
+    key = ("small16", B)
+    buf = _PREP_CACHE.get(key)
+    if buf is None:
+        buf = np.zeros((B, 16), np.int32)
+        _PREP_CACHE[key] = buf
+    return buf
+
+
 def _cat_staging(n_bytes: int) -> np.ndarray:
     """Cached flat buffer for the aligned payload cat, bucketed to 1MiB so
     upload shapes stay cacheable."""
@@ -254,6 +265,29 @@ def _prep_buffers(B: int, lw: int, mw: int):
                 np.zeros((B, 1024), np.int32))  # packed u tables (sorted)
         _PREP_CACHE[key] = bufs
     return bufs
+
+
+@functools.lru_cache(maxsize=1)
+def _expand_smalls_fn():
+    """Jitted expansion of the packed per-block small parameters (one
+    (B, 16) upload instead of a dozen tiny transfers): columns 0-3 lit
+    states, 4-6 lmd states (class-offset), 7/8 stream bit positions, 9/10
+    sorted step counts, 11/12 payload cat chunk starts."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def go(sm):
+        B = sm.shape[0]
+        pad = jnp.zeros((B, 125), jnp.int32)
+        lit_states = jnp.concatenate([sm[:, 0:4], pad[:, :124]], axis=1)
+        lmd_states = jnp.concatenate([sm[:, 4:7], pad], axis=1)
+        bl = jnp.broadcast_to(sm[:, 7:8], (B, 128))
+        bm = jnp.broadcast_to(sm[:, 8:9], (B, 128))
+        nl = jnp.broadcast_to(sm[:, 9:10], (B, 128))
+        nm = jnp.broadcast_to(sm[:, 10:11], (B, 128))
+        return lit_states, lmd_states, bl, bm, nl, nm, sm[:, 11], sm[:, 12]
+    return go
 
 
 @functools.lru_cache(maxsize=1)
@@ -363,9 +397,13 @@ class TpuDecoder:
             inv_m = np.argsort(perm_m).astype(np.int32)
             sl_n = inv_l[:nb]
             sm_n = inv_m[:nb]
-            (lit_states, lmd_states, lit_pos, lmd_pos, v_tabs, u_tabs,
-             start_l, start_m) = _prep_small(B)
-            native_mod.build_tables_batch(w16, sm_n, sl_n, v_tabs, u_tabs)
+            (_ls_unused, _lm_unused, _lp_unused, _mp_unused, v_tabs,
+             u_tabs, _s1_unused, _s2_unused) = _prep_small(B)
+            # table build (native, GIL-free) overlaps the payload gather
+            import threading
+            th = threading.Thread(target=native_mod.build_tables_batch,
+                                  args=(w16, sm_n, sl_n, v_tabs, u_tabs))
+            th.start()
             lens_l = desc[:, 6].astype(np.int64)
             lens_m = desc[:, 8].astype(np.int64)
             # payload window widths bucketed to the batch maximum: smaller
@@ -378,44 +416,46 @@ class TpuDecoder:
                                  (lens_m + _ALIGN - 1) // _ALIGN))
             cum = np.cumsum(ch)
             starts_all = np.concatenate(([0], cum[:-1])).astype(np.int32)
-            start_l[:] = 0
-            start_m[:] = 0
-            start_l[sl_n] = starts_all[:nb]
-            start_m[sm_n] = starts_all[nb:]
             stage = _cat_staging(int(cum[-1]) * _ALIGN)
             native_mod.gather_payloads(
                 sources, desc, starts_all[:nb].astype(np.int64) * _ALIGN,
                 starts_all[nb:].astype(np.int64) * _ALIGN, stage)
-            lit_pos[:] = 0
-            lmd_pos[:] = 0
-            lit_pos[sl_n] = (lens_l * 8 - desc[:, 3]).astype(np.int32)
-            lmd_pos[sm_n] = (lens_m * 8 - desc[:, 4]).astype(np.int32)
-            lit_states[sl_n, :4] = desc[:, 9:13]
+            # the big stage upload proceeds on a worker thread while the
+            # host packs the per-block small parameters
+            cat_box: list = []
+            stage2d = stage.view(np.int32).reshape(-1, 128)
+            th_up = threading.Thread(
+                target=lambda: cat_box.append(jnp.asarray(stage2d)))
+            th_up.start()
+            small = _small_staging(B)
+            small[:] = 0
+            small[sl_n, 0:4] = desc[:, 9:13]
             lmd_st = desc[:, 13:16].copy()
             lmd_st[:, 1] += C.L_STATES
             lmd_st[:, 2] += C.L_STATES + C.M_STATES
-            lmd_states[sm_n, :3] = lmd_st
-
-            def bcast(x):
-                return jnp.asarray(np.ascontiguousarray(
-                    np.broadcast_to(x[:, None], (B, 128))))
-
+            small[sm_n, 4:7] = lmd_st
+            small[sl_n, 7] = (lens_l * 8 - desc[:, 3]).astype(np.int32)
+            small[sm_n, 8] = (lens_m * 8 - desc[:, 4]).astype(np.int32)
+            small[:, 9] = litn_b[perm_l]
+            small[:, 10] = lmdn_b[perm_m]
+            small[sl_n, 11] = starts_all[:nb]
+            small[sm_n, 12] = starts_all[nb:]
+            (lit_states_d, lmd_states_d, bl, bm, nl, nm, start_l_d,
+             start_m_d) = _expand_smalls_fn()(jnp.asarray(small))
+            th.join()
             take = _take_rows_fn()
             gather = _gather_payload_fn()
             u_sorted = jnp.asarray(u_tabs)
             v_sorted = jnp.asarray(v_tabs)
-            cat_dev = jnp.asarray(stage.view(np.int32).reshape(-1, 128))
-            lit_words_dev = gather(cat_dev, jnp.asarray(start_l),
-                                   w_words=lit_w_total)
-            lmd_words_dev = gather(cat_dev, jnp.asarray(start_m),
-                                   w_words=lmd_w_total)
+            th_up.join()
+            cat_dev = cat_box[0]
+            lit_words_dev = gather(cat_dev, start_l_d, w_words=lit_w_total)
+            lmd_words_dev = gather(cat_dev, start_m_d, w_words=lmd_w_total)
             lit_pk, lit_fs128, lit_fp128 = decode_literals_pallas(
-                u_sorted, lit_words_dev, jnp.asarray(lit_states),
-                bcast(lit_pos), bcast(litn_b[perm_l]),
+                u_sorted, lit_words_dev, lit_states_d, bl, nl,
                 C.LITERALS_PER_BLOCK // 4)
             lm_pk, d_pk, lmd_fs128, lmd_fp128 = decode_lmds_pallas(
-                v_sorted, lmd_words_dev, jnp.asarray(lmd_states),
-                bcast(lmd_pos), bcast(lmdn_b[perm_m]),
+                v_sorted, lmd_words_dev, lmd_states_d, bm, nm,
                 C.LMDS_PER_BLOCK)
             literals, lmds = _unpack_fn()(
                 take(lit_pk, jnp.asarray(inv_l)),

@@ -334,18 +334,33 @@ struct Sink {
     if (len + m > cap) return -E_CAP;
     uint8_t* out = dst + len;
     const uint8_t* src = out - d;
-    if (d >= 16 && len + m + 16 <= cap) {
-      // 16-byte strides are overlap-safe for d >= 16: byte j of chunk n
-      // reads position j - d <= j - 16, already written by chunk n-1
-      cpy16(out, src);
-      for (size_t i = 16; i < m; i += 16) cpy16(out + i, src + i);
+    if (len + m + 16 <= cap) {
+      if (d >= 16) {
+        // 16-byte strides are overlap-safe for d >= 16: byte j of chunk n
+        // reads position j - d <= j - 16, already written by chunk n-1
+        cpy16(out, src);
+        for (size_t i = 16; i < m; i += 16) cpy16(out + i, src + i);
+      } else if (m <= d) {
+        // short non-overlapping copy; bytes m..15 of the wide store are
+        // slack (and the read past src + m stays inside the output
+        // buffer: src + 16 = out + 16 - d <= out + 15 < cap slack)
+        cpy16(out, src);
+      } else {
+        // 1 <= d < 16 < m: replicate the d-byte period into a 16-byte
+        // pattern once, then branch-light 16B stores advancing by the
+        // largest multiple of d <= 16 (store phase stays period-aligned)
+        uint8_t pat[16];
+        for (int i = 0; i < 16; i++) pat[i] = src[i % d];
+        size_t step = (16 / d) * d;
+        for (size_t done = 0; done < m; done += step)
+          cpy16(out + done, pat);
+      }
     } else if (d >= m) {
       memcpy(out, src, m);
     } else {
       // overlap-safe exponential widening: the copied prefix repeats with
       // period d, so doubling the stride (a multiple of d) keeps every
       // memcpy non-overlapping — O(log(m/d)) calls instead of a byte loop
-      // for the short-distance long runs that dominate compressible data
       size_t done = 0, dd = d;
       while (done < m) {
         size_t c = dd < m - done ? dd : m - done;
