@@ -291,6 +291,18 @@ def _expand_smalls_fn():
 
 
 @functools.lru_cache(maxsize=1)
+def _concat_fn():
+    """Jitted device-side re-join of the two-thread stage upload halves."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def go(a, b):
+        return jnp.concatenate([a, b], axis=0)
+    return go
+
+
+@functools.lru_cache(maxsize=1)
 def _take_rows_fn():
     """Jitted device row-gather (fast on TPU: ~1G rows/s, unlike element
     gathers) used to permute packed tables into size-sorted kernel order."""
@@ -420,13 +432,22 @@ class TpuDecoder:
             native_mod.gather_payloads(
                 sources, desc, starts_all[:nb].astype(np.int64) * _ALIGN,
                 starts_all[nb:].astype(np.int64) * _ALIGN, stage)
-            # the big stage upload proceeds on a worker thread while the
-            # host packs the per-block small parameters
-            cat_box: list = []
+            # the big stage upload proceeds on TWO worker threads (the
+            # host-side transfer copy scales ~1.6x with a second thread)
+            # while the main thread packs the per-block small parameters;
+            # halves split on a row boundary (= 512B chunk boundary) and
+            # re-join with a trivial on-device concat
             stage2d = stage.view(np.int32).reshape(-1, 128)
-            th_up = threading.Thread(
-                target=lambda: cat_box.append(jnp.asarray(stage2d)))
-            th_up.start()
+            hrows = stage2d.shape[0] // 2
+            cat_box: list = [None, None]
+            ths_up = [
+                threading.Thread(
+                    target=lambda i=i, lo=i * hrows,
+                    hi=(i + 1) * hrows if i == 0 else stage2d.shape[0]:
+                    cat_box.__setitem__(i, jnp.asarray(stage2d[lo:hi])))
+                for i in range(2)]
+            for t in ths_up:
+                t.start()
             small = _small_staging(B)
             small[:] = 0
             small[sl_n, 0:4] = desc[:, 9:13]
@@ -447,8 +468,9 @@ class TpuDecoder:
             gather = _gather_payload_fn()
             u_sorted = jnp.asarray(u_tabs)
             v_sorted = jnp.asarray(v_tabs)
-            th_up.join()
-            cat_dev = cat_box[0]
+            for t in ths_up:
+                t.join()
+            cat_dev = _concat_fn()(cat_box[0], cat_box[1])
             lit_words_dev = gather(cat_dev, start_l_d, w_words=lit_w_total)
             lmd_words_dev = gather(cat_dev, start_m_d, w_words=lmd_w_total)
             lit_pk, lit_fs128, lit_fp128 = decode_literals_pallas(

@@ -74,7 +74,12 @@ R_ROWS_LMD = 128
 
 def _pick_g(w_words: int, two_outputs: bool) -> int:
     """Sections per row: 16 when the double-buffered (8, G*W) windows plus
-    tables fit the ~16MB scoped-VMEM budget, else 8."""
+    tables fit the ~16MB scoped-VMEM budget, else 8. Measured on the
+    corpus batch, G=16 beats G=8 for BOTH kernels despite worse group
+    utilization (sorted-group trip counts run 1.97x vs 1.40x the needed
+    literal steps): the per-step fixed cost (rolls, refresh, grid
+    overhead) amortized over 2x blocks outweighs the extra dead steps
+    (lit 7.9 vs 8.4 ms, lmd 9.6 vs 19 ms on the 256-block pass)."""
     limit = 8192 if two_outputs else 10240
     return 16 if w_words <= limit else 8
 

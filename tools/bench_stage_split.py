@@ -31,10 +31,10 @@ for i, d in enumerate(blocks):
     ls = d.block.lmd.state; lmd_states[i] = (ls[0], ls[1]+64, ls[2]+128)
     lit_num[i] = d.block.literal.num; lmd_num[i] = d.block.lmd.num
 
-lw_tot = M._round_up(M.LIT_PAYLOAD_PAD//4+4, 128)
-mw_tot = M._round_up(M.LMD_PAYLOAD_PAD//4+4, 128)
-lit_words = np.zeros((B, lw_tot), np.int32); lit_words[:, :M.LIT_PAYLOAD_PAD//4] = litp.view("<i4")
-lmd_words = np.zeros((B, mw_tot), np.int32); lmd_words[:, :M.LMD_PAYLOAD_PAD//4] = lmdp.view("<i4")
+lw_tot = M._w_bucket(max(len(d.lit_payload) for d in blocks))
+mw_tot = M._w_bucket(max(len(d.lmd_payload) for d in blocks))
+lit_words = np.zeros((B, lw_tot), np.int32); lit_words[:, :lw_tot-4] = litp.view("<i4")[:, :lw_tot-4]
+lmd_words = np.zeros((B, mw_tot), np.int32); lmd_words[:, :mw_tot-4] = lmdp.view("<i4")[:, :mw_tot-4]
 def vec(x):
     out = np.zeros((B,128), np.int32); out[:, :x.shape[1]] = x; return jnp.asarray(out)
 def bc(x):
