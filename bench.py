@@ -194,17 +194,19 @@ def bench_tpu_full_decode():
         assert got == want, f"decode mismatch on {files[i % len(srcs)].name}"
     assert stats.get("fallbacks", 0) == 0, f"spec fallbacks: {stats}"
 
-    # steady-state host stage timing: per-stage median of 5 warm runs (a
-    # single sample catches first-call page faults and contention with the
-    # JAX runtime's dispatch threads on this 4-core host)
+    # steady-state host stage timing: 2nd-smallest of 7 warm runs per
+    # stage. Host-VM contention on this shared 4-core box only ever ADDS
+    # time (observed 2-4x spikes on identical code), so a low-order
+    # statistic estimates the true stage cost; discarding the single
+    # smallest sample guards against a lucky fluke.
     runs = []
-    for _ in range(5):
+    for _ in range(7):
         stats = {}
         dec.decode_many(batch, stats=stats)
         assert stats.get("fallbacks", 0) == 0
         runs.append(stats)
-    med = lambda k: sorted(r[k] for r in runs)[len(runs) // 2]
-    stats = {k: med(k) for k in ("parse", "prep", "flatten", "rebuild")}
+    low = lambda k: sorted(r[k] for r in runs)[1]
+    stats = {k: low(k) for k in ("parse", "prep", "flatten", "rebuild")}
     t_host = sum(stats.values())
     t_dev = _device_time_injit(batch)
     total_raw = sum(len(o) for o in outs)

@@ -479,11 +479,13 @@ class TpuDecoder:
             lm_pk, d_pk, lmd_fs128, lmd_fp128 = decode_lmds_pallas(
                 v_sorted, lmd_words_dev, lmd_states_d, bm, nm,
                 C.LMDS_PER_BLOCK)
-            literals, lmds = _unpack_fn()(
-                take(lit_pk, jnp.asarray(inv_l)),
-                take(lm_pk, jnp.asarray(inv_m)),
-                take(d_pk, jnp.asarray(inv_m)))
-            lmds = _substitute_jit(lmds)
+            # packed outputs travel as-is: the literal words ARE the
+            # literal bytes little-endian, and the native rebuild consumes
+            # lm = l|m<<16 plus raw d (repeat-zeros resolved inline) —
+            # no device unpack, a third less download volume
+            literals = take(lit_pk, jnp.asarray(inv_l))
+            lm_rows = take(lm_pk, jnp.asarray(inv_m))
+            d_rows = take(d_pk, jnp.asarray(inv_m))
             _mark("prep")
 
             # Stream validity (fse_core.rs:132-140 + literals.rs:79-87)
@@ -497,13 +499,16 @@ class TpuDecoder:
                       & (lmd_fs_np[:, 2] == C.L_STATES + C.M_STATES)
                       & (lmd_fp >= 64))
             fse_ok = lit_ok & lmd_ok
-            lit_arr = np.ascontiguousarray(np.asarray(literals))
-            lmd_arr = np.ascontiguousarray(np.asarray(lmds))
+            lit_arr = np.ascontiguousarray(
+                np.asarray(literals)).view(np.uint8)
+            lm_arr = np.ascontiguousarray(np.asarray(lm_rows))
+            d_arr = np.ascontiguousarray(np.asarray(d_rows))
             _mark("device")
         else:
             fse_ok = np.zeros(0, bool)
-            lit_arr = np.zeros((1, 1), np.uint8)
-            lmd_arr = np.zeros((1, 1, 3), np.int32)
+            lit_arr = np.zeros((1, 4), np.uint8)
+            lm_arr = np.zeros((1, 1), np.int32)
+            d_arr = np.zeros((1, 1), np.int32)
             _mark("prep")
             _mark("device")
 
@@ -540,7 +545,7 @@ class TpuDecoder:
         empty_lits = np.zeros(1, np.uint8)
         _mark("flatten")
         status = native_mod.flatten_rebuild(
-            lmd_arr, lit_arr, parts_np, cont_off_np, out_offs_np,
+            lm_arr, d_arr, lit_arr, parts_np, cont_off_np, out_offs_np,
             empty_rows, empty_lits, out_buf, sources=sources)
         for k, ci in enumerate(cont_ids):
             if status[k] == int(cont_nraw[ci]):
@@ -880,9 +885,13 @@ class TpuDecoder:
                 out_buf = np.empty(out_key[1], np.uint8)
                 _PREP_CACHE[out_key] = out_buf
             _mark("flatten")
+            # this path carries substituted (l, m, d) triplets; pack for
+            # the native rebuild's lm/d layout (d already substituted, so
+            # the native repeat-zeros pass is a no-op on it)
+            lm_arr = lmd_arr[:, :, 0] | (lmd_arr[:, :, 1] << 16)
             status = native_mod.flatten_rebuild(
-                lmd_arr, lit_arr, parts_np,
-                np.asarray(cont_off, np.int32), out_offs_np,
+                lm_arr, np.ascontiguousarray(lmd_arr[:, :, 2]), lit_arr,
+                parts_np, np.asarray(cont_off, np.int32), out_offs_np,
                 host_rows, host_lits, out_buf)
             for k, ci in enumerate(cont_ids):
                 if status[k] == parsed[ci].n_raw:

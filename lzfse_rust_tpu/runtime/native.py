@@ -72,10 +72,10 @@ def _configure(lib) -> None:
                                     ctypes.c_void_p]
     lib.tl_flatten_rebuild.restype = ctypes.c_longlong
     lib.tl_flatten_rebuild.argtypes = [
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
-        ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p]
+        ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p]
     lib.tl_walk_batch.restype = ctypes.c_longlong
     lib.tl_walk_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
@@ -230,29 +230,32 @@ def gather_payloads(sources, desc, dst_l, dst_m, stage) -> None:
                               dst_m.ctypes.data, stage.ctypes.data)
 
 
-def flatten_rebuild(lmd_rows, lit_rows, parts, cont_part_off, out_offs,
-                    host_rows, host_lits, out, sources=()):
+def flatten_rebuild(lm_rows, d_rows, lit_rows, parts, cont_part_off,
+                    out_offs, host_rows, host_lits, out, sources=()):
     """Flatten + LZ-rebuild a batch of containers in one threaded call.
 
-    lmd_rows: (nb, LMDS, 3) int32; lit_rows: (nb, LITS) uint8; parts:
-    (n_parts, 6) int32 descriptors (kind 2/3 parts reference `sources`);
-    cont_part_off: (n_conts+1,) int32; out_offs: (n_conts+1,) int64 output
-    segment offsets; host_rows: (n_host_rows, 3) int32; host_lits: uint8;
-    out: flat uint8 buffer; sources: the container bytes list (only needed
+    lm_rows/d_rows: (nb, LMDS) int32 packed device rows (l | m << 16 and
+    raw d with repeat-zeros); lit_rows: (nb, LITS) uint8 (the kernels'
+    packed literal words viewed as bytes); parts: (n_parts, 6) int32
+    descriptors (kind 2/3 parts reference `sources`); cont_part_off:
+    (n_conts+1,) int32; out_offs: (n_conts+1,) int64 output segment
+    offsets; host_rows: (n_host_rows, 3) int32; host_lits: uint8; out:
+    flat uint8 buffer; sources: the container bytes list (only needed
     when kind 2/3 parts are present).
     Returns (n_conts,) int64 per-container bytes-written-or-negative-error.
     """
     import numpy as np
     # device downloads can arrive with non-C strides (observed on the TPU
     # backend at larger batches); the C walker reads raw row-major memory
-    lmd_rows = np.ascontiguousarray(lmd_rows, dtype=np.int32)
+    lm_rows = np.ascontiguousarray(lm_rows, dtype=np.int32)
+    d_rows = np.ascontiguousarray(d_rows, dtype=np.int32)
     lit_rows = np.ascontiguousarray(lit_rows, dtype=np.uint8)
     n_conts = len(out_offs) - 1
     status = np.empty(n_conts, np.int64)
     ptrs = _src_ptrs(list(sources) or [b""])
     _lib().tl_flatten_rebuild(
-        lmd_rows.ctypes.data, lit_rows.ctypes.data,
-        lmd_rows.shape[1] * 3 if lmd_rows.ndim == 3 else 0,
+        lm_rows.ctypes.data, d_rows.ctypes.data, lit_rows.ctypes.data,
+        lm_rows.shape[1] if lm_rows.ndim == 2 else 0,
         lit_rows.shape[1] if lit_rows.ndim == 2 else 0,
         parts.ctypes.data, cont_part_off.ctypes.data, out_offs.ctypes.data,
         host_rows.ctypes.data, host_lits.ctypes.data, out.ctypes.data,

@@ -1713,12 +1713,12 @@ long long tl_rebuild(const int* rows, size_t n_rows, const char* lits_c,
 // -err; callers compare against the expected n_raw and fall back to the
 // spec layer on mismatch. Reference hot loop: fse_core.rs:80-141.
 long long tl_flatten_rebuild(
-    const int* lmd_rows, const unsigned char* lit_rows, size_t lmd_stride,
-    size_t lit_stride, const int* parts, const int* cont_part_off,
-    const long long* out_offs, const int* host_rows,
-    const unsigned char* host_lits, char* out, long long* status,
-    size_t n_conts, size_t lit_rows_total, size_t host_lits_total,
-    const char* const* srcs) {
+    const int* lm_rows, const int* d_rows, const unsigned char* lit_rows,
+    size_t lmd_stride, size_t lit_stride, const int* parts,
+    const int* cont_part_off, const long long* out_offs,
+    const int* host_rows, const unsigned char* host_lits, char* out,
+    long long* status, size_t n_conts, size_t lit_rows_total,
+    size_t host_lits_total, const char* const* srcs) {
   auto run_one = [&](size_t ci) {
     Sink sink{(uint8_t*)out + out_offs[ci],
               (size_t)(out_offs[ci + 1] - out_offs[ci])};
@@ -1736,22 +1736,44 @@ long long tl_flatten_rebuild(
         if (rc) { status[ci] = rc; return; }
         continue;
       }
-      const int* rows;
-      const uint8_t* lits;
-      size_t n_rows, lit_cap, lit_avail;
       if (P[0] == 0) {
-        rows = lmd_rows + (size_t)P[1] * lmd_stride;
-        lits = lit_rows + (size_t)P[1] * lit_stride;
-        n_rows = (size_t)P[2];
-        lit_cap = (size_t)P[3];
-        lit_avail = lit_rows_total - (size_t)P[1] * lit_stride;
-      } else {
-        rows = host_rows + (size_t)P[1] * 3;
-        lits = host_lits + (size_t)P[3];
-        n_rows = (size_t)P[2];
-        lit_cap = (size_t)P[4];
-        lit_avail = host_lits_total - (size_t)P[3];
+        // packed device rows: lm = l | m << 16, d raw (0 = repeat the
+        // running distance, reset per block — lmd.rs repeat-D rule)
+        const int* lm = lm_rows + (size_t)P[1] * lmd_stride;
+        const int* dr = d_rows + (size_t)P[1] * lmd_stride;
+        const uint8_t* lits = lit_rows + (size_t)P[1] * lit_stride;
+        size_t n_rows = (size_t)P[2];
+        size_t lit_cap = (size_t)P[3];
+        size_t lit_avail = lit_rows_total - (size_t)P[1] * lit_stride;
+        size_t li = 0;
+        uint32_t dist = 0;
+        for (size_t i = 0; i < n_rows; i++) {
+          uint32_t lmv = (uint32_t)lm[i];
+          uint32_t l = lmv & 0xFFFF;
+          uint32_t m = lmv >> 16;
+          uint32_t d = (uint32_t)dr[i];
+          if (d) dist = d;
+          if (l) {
+            if (li + l > lit_cap) { status[ci] = -E_FSE; return; }
+            int rc = li + l + 16 <= lit_avail
+                         ? sink.write_slack(lits + li, l)
+                         : sink.write(lits + li, l);
+            if (rc) { status[ci] = rc; return; }
+            li += l;
+          }
+          if (m) {
+            int rc = sink.write_match(m, dist);
+            if (rc) { status[ci] = rc; return; }
+          }
+        }
+        continue;
       }
+      // kind 1: host-parsed (l, m, d) triplet rows
+      const int* rows = host_rows + (size_t)P[1] * 3;
+      const uint8_t* lits = host_lits + (size_t)P[3];
+      size_t n_rows = (size_t)P[2];
+      size_t lit_cap = (size_t)P[4];
+      size_t lit_avail = host_lits_total - (size_t)P[3];
       size_t li = 0;
       for (size_t i = 0; i < n_rows; i++) {
         uint32_t l = (uint32_t)rows[i * 3];
