@@ -64,6 +64,17 @@ class TpuEncoder:
             device_emission = jax.default_backend() not in ("cpu",)
         self.device_emission = device_emission
 
+    @staticmethod
+    def _window_geometry(n_full: int, start: int):
+        """(base, ctx, n, N) for the device window probing
+        src[start : start+stride] with its history context."""
+        ctx = min(start, WINDOW_CTX)
+        base = start - ctx
+        n = min(n_full, start + WINDOW_STRIDE + 3) - base
+        N = min(_bucket_pow2(n + 128), WINDOW_N)
+        assert n + 128 <= N
+        return base, ctx, n, N
+
     def _window_matches(self, full: np.ndarray, start: int, vn: bool):
         """Exact absolute-coordinate match rows for src[start : start+stride].
 
@@ -74,23 +85,29 @@ class TpuEncoder:
         choice matches the one-shot scan exactly.
         """
         import jax.numpy as jnp
-        from ..ops.match_find_tpu import WINDOW, find_matches_device
+        from ..ops.match_find_tpu import find_matches_device
+
+        n_full = len(full)
+        base, ctx, n, N = self._window_geometry(n_full, start)
+        src_pad = np.zeros(N, dtype=np.uint8)
+        src_pad[:n] = full[base:base + n]
+        pos, cands, lcps = find_matches_device(
+            jnp.asarray(src_pad), jnp.int32(n), vn)
+        return self._arbitrate_window(
+            full, base, ctx, n, np.asarray(pos), np.asarray(cands),
+            np.asarray(lcps), vn)
+
+    def _arbitrate_window(self, full: np.ndarray, base: int, ctx: int,
+                          n: int, pos, cands, lcps, vn: bool):
+        """Host half of one window: payload filtering, exact re-extension
+        of window-saturated LCPs, FIFO strict-max arbitration."""
+        from ..ops.match_find_tpu import WINDOW
         from ..spec.match_find import _lcp_forward
 
         n_full = len(full)
-        ctx = min(start, WINDOW_CTX)
-        base = start - ctx
-        chunk = full[base:start + WINDOW_STRIDE + 3]
-        n = len(chunk)
-        N = min(_bucket_pow2(n + 128), WINDOW_N)
-        assert n + 128 <= N
-        src_pad = np.zeros(N, dtype=np.uint8)
-        src_pad[:n] = chunk
-        pos, cands, lcps = find_matches_device(
-            jnp.asarray(src_pad), jnp.int32(n), vn)
-        pos = np.asarray(pos).astype(np.int64)
-        cands = np.asarray(cands).astype(np.int64)
-        lcps = np.asarray(lcps).astype(np.int64)
+        pos = pos.astype(np.int64)
+        cands = cands.astype(np.int64)
+        lcps = lcps.astype(np.int64)
 
         # only payload-region probes count; context and overhang probes are
         # discarded (the overhang belongs to the next window's payload)
@@ -163,6 +180,103 @@ class TpuEncoder:
             self.last_emission = "host"
         return body + C.MAGIC_EOS.to_bytes(4, "little")
 
+    def encode_many(self, sources: list[bytes]) -> list[bytes]:
+        """Batched container encode — the encode-side serving API.
+
+        Every match-finder window of every source dispatches in ONE
+        batched device call per window-size bucket
+        (ops/match_find_tpu.find_matches_batch), and with device emission
+        every FSE block of every source runs in one pooled Pallas
+        emission pass — per-dispatch latency amortizes across the whole
+        batch. (On the tunneled dev harness wall clock stays bound by the
+        ~25MB/s device->host link draining the per-window candidate
+        arrays — ~36MB per 1MiB window — which at PCIe rates is
+        milliseconds; see CLAUDE.md on timing there.) Output is
+        byte-identical to encode_bytes for each source."""
+        import jax.numpy as jnp
+        from ..ops.match_find_tpu import find_matches_batch
+        from ..spec.match_find import _lcp_backward
+
+        results: list = [None] * len(sources)
+        big: list[int] = []
+        for i, s in enumerate(sources):
+            if len(s) <= C.VN_CUTOFF:
+                results[i] = FE.encode_bytes(s)
+            else:
+                big.append(i)
+        if not big:
+            return results
+
+        # gather every window of every big source, bucketed by padded size
+        wins: list[tuple] = []  # (src_idx, base, ctx, n, N)
+        fulls = {i: np.frombuffer(sources[i], dtype=np.uint8) for i in big}
+        for i in big:
+            n_full = len(sources[i])
+            for start in range(0, n_full, WINDOW_STRIDE):
+                base, ctx, n, N = self._window_geometry(n_full, start)
+                wins.append((i, base, ctx, n, N))
+        by_n: dict = {}
+        for k, w in enumerate(wins):
+            by_n.setdefault(w[4], []).append(k)
+        win_out: dict = {}
+        for N, idxs in sorted(by_n.items()):
+            pads = np.zeros((len(idxs), N), dtype=np.uint8)
+            n_reals = np.empty(len(idxs), np.int32)
+            for r, k in enumerate(idxs):
+                i, base, ctx, n, _ = wins[k]
+                pads[r, :n] = fulls[i][base:base + n]
+                n_reals[r] = n
+            pos_b, cands_b, lcps_b = find_matches_batch(
+                jnp.asarray(pads), jnp.asarray(n_reals), False)
+            pos_b = np.asarray(pos_b)
+            cands_b = np.asarray(cands_b)
+            lcps_b = np.asarray(lcps_b)
+            for r, k in enumerate(idxs):
+                i, base, ctx, n, _ = wins[k]
+                win_out[k] = self._arbitrate_window(
+                    fulls[i], base, ctx, n, pos_b[r], cands_b[r],
+                    lcps_b[r], False)
+
+        # per-source: merge windows into one absolute-coordinate stream
+        streams: dict = {}
+        for i in big:
+            parts = [win_out[k] for k, w in enumerate(wins) if w[0] == i]
+            pos_k = np.concatenate([p for p, _, _ in parts])
+            cand_k = np.concatenate([c for _, c, _ in parts])
+            fwd_k = np.concatenate([f for _, _, f in parts])
+            back_k = _lcp_backward(fulls[i], pos_k, cand_k,
+                                   np.minimum(cand_k, pos_k))
+            order = np.argsort(pos_k, kind="stable")
+            streams[i] = MatchStream(
+                pos=pos_k[order], match_pos=cand_k[order],
+                fwd_len=fwd_k[order], back_max=back_k[order])
+
+        eos = C.MAGIC_EOS.to_bytes(4, "little")
+        if self.device_emission:
+            try:
+                # pool every source's blocks into one emission pass
+                per_src_blocks = {i: self._select_blocks(sources[i],
+                                                         streams[i])
+                                  for i in big}
+                flat: list = []
+                spans: dict = {}
+                for i in big:
+                    spans[i] = (len(flat), len(per_src_blocks[i]))
+                    flat.extend(per_src_blocks[i])
+                bodies = self._emit_blocks_device(flat)
+                for i in big:
+                    off, cnt = spans[i]
+                    results[i] = b"".join(bodies[off:off + cnt]) + eos
+                self.last_emission = "device"
+                return results
+            except Exception:
+                self.last_emission = "host-fallback"
+        else:
+            self.last_emission = "host"
+        for i in big:
+            results[i] = self._select_emit(sources[i], streams[i]) + eos
+        return results
+
     def _select_blocks(self, src: bytes, stream: MatchStream):
         """Native selection + block splitting without emission: the raw
         per-block contents the device emission plane consumes."""
@@ -188,11 +302,18 @@ class TpuEncoder:
         return blocks
 
     def _emit_device(self, src: bytes, stream: MatchStream) -> bytes:
+        """Device tANS block emission for one source (see
+        _emit_blocks_device)."""
+        return b"".join(self._emit_blocks_device(
+            self._select_blocks(src, stream)))
+
+    def _emit_blocks_device(self, blocks) -> list:
         """Device tANS block emission: Pallas state scans for every block's
-        literal + LMD streams at once; the host packs the group streams and
-        assembles headers/weights (reference hot loop 2:
+        literal + LMD streams at once (blocks may span MANY sources — the
+        encode_many path pools them into one dispatch); the host packs the
+        group streams and assembles headers/weights (reference hot loop 2:
         src/fse/literals.rs:93-133, lmds.rs:62-93). Byte-identical to the
-        scalar emission path."""
+        scalar emission path. Returns one bytes per block."""
         import jax.numpy as jnp
         from ..ops.fse_encode import build_encode_tables, pack_group_stream
         from ..ops.pallas_encode import (R_ROWS as RE, SUPER,
@@ -201,7 +322,6 @@ class TpuEncoder:
         from ..spec import fse as F
         from ..spec import weights as W
 
-        blocks = self._select_blocks(src, stream)
         nb = len(blocks)
         B = _bucket_pow2(nb, RE)
         n_cols = (C.LMDS_PER_BLOCK + SUPER - 1) // SUPER * SUPER  # 10112
@@ -274,11 +394,10 @@ class TpuEncoder:
                        int(mfs[i, 2]) - C.D_STATES))
             block = F.FseBlock(lit_param, lmd_param, len(lits) + n_mb)
             weight_payload = W.store_v2(weights_np[i])
-            out.append(F.store_v2_header(block, len(weight_payload)))
-            out.append(weight_payload)
-            out.append(lit_pay)
-            out.append(lmd_pay)
-        return b"".join(out)
+            out.append(b"".join((
+                F.store_v2_header(block, len(weight_payload)),
+                weight_payload, lit_pay, lmd_pay)))
+        return out
 
     def _select_emit(self, chunk: bytes, stream: MatchStream) -> bytes:
         """Selection scan + block emission (native fast path, spec fallback).

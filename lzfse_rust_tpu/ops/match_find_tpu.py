@@ -102,3 +102,16 @@ def find_matches_device(src_pad: jnp.ndarray, n_real: jnp.ndarray, vn: bool):
         cands.append(jnp.where(ok, cand, -1))
         lcps.append(lcp)
     return pos, jnp.stack(cands), jnp.stack(lcps)
+
+
+@functools.partial(jax.jit, static_argnames=("vn",))
+def find_matches_batch(src_pads: jnp.ndarray, n_reals: jnp.ndarray,
+                       vn: bool):
+    """Batched window match finding: one dispatch for every same-size
+    window in an encode_many call (amortizes per-dispatch latency, which
+    dominates small-window encodes on tunneled hosts). src_pads: (B, N)
+    uint8; n_reals: (B,) int32. Per-window outputs as find_matches_device,
+    batch-leading."""
+    return jax.vmap(
+        lambda s, n: find_matches_device.__wrapped__(s, n, vn),
+        in_axes=(0, 0))(src_pads, n_reals)

@@ -88,3 +88,25 @@ def test_multi_window_byte_identity():
     got = TpuEncoder().encode_bytes(data)
     want = FE.encode_bytes(data)
     assert got == want
+
+
+def test_encode_many_matches_encode_bytes():
+    """The batched serving API must be byte-identical per source to the
+    one-shot path (and to the spec encoder), across mixed sizes including
+    VN/raw-routed small inputs."""
+    from lzfse_rust_tpu.models.encoder import TpuEncoder
+
+    rng = np.random.default_rng(31)
+    words = [bytes(rng.integers(97, 123, int(rng.integers(2, 9)),
+                                dtype=np.uint8)) for _ in range(64)]
+    sources = [
+        b"",                                           # empty
+        b"tiny tiny tiny tiny",                        # VN/raw path
+        b" ".join(words[int(i)] for i in rng.integers(0, 64, 900)),
+        b" ".join(words[int(i)] for i in rng.integers(0, 64, 4000)),
+        bytes(rng.integers(0, 256, 6000, dtype=np.uint8)),  # incompressible
+    ]
+    enc = TpuEncoder()
+    got = enc.encode_many(sources)
+    for s, g in zip(sources, got):
+        assert g == enc.encode_bytes(s)
