@@ -145,13 +145,74 @@ class TpuEncoder:
         keep = best_len > 0
         return abs_pos[keep], best_cand[keep], best_len[keep]
 
+    def _windows_compact(self, fulls: dict, wins: list, vn: bool) -> dict:
+        """Batched compact match finding over (src_idx, base, ctx, n, N)
+        windows: device-side arbitration, count-bounded downloads, exact
+        host re-arbitration only for the saturated rows. Returns window
+        index -> (abs_pos, best_cand, best_len)."""
+        import jax.numpy as jnp
+        from ..ops.match_find_tpu import find_matches_compact
+
+        by_n: dict = {}
+        for k, w in enumerate(wins):
+            by_n.setdefault(w[4], []).append(k)
+        out: dict = {}
+        for N, idxs in sorted(by_n.items()):
+            pads = np.zeros((len(idxs), N), dtype=np.uint8)
+            n_reals = np.empty(len(idxs), np.int32)
+            los = np.empty(len(idxs), np.int32)
+            his = np.empty(len(idxs), np.int32)
+            for r, k in enumerate(idxs):
+                i, base, ctx, n, _ = wins[k]
+                pads[r, :n] = fulls[i][base:base + n]
+                n_reals[r] = n
+                los[r] = ctx
+                his[r] = ctx + WINDOW_STRIDE
+            counts, pos_s, cand_s, len_s, cands_s, lcps_s = \
+                find_matches_compact(jnp.asarray(pads),
+                                     jnp.asarray(n_reals),
+                                     jnp.asarray(los), jnp.asarray(his),
+                                     vn)
+            counts_h = np.asarray(counts)
+            # bucketed slice widths keep the jit shape count bounded
+            kmax = min(_bucket_pow2(max(int(counts_h[:, 1].max()), 1),
+                                    4096), N)
+            smax = min(_bucket_pow2(max(int(counts_h[:, 0].max()), 1),
+                                    1024), N)
+            pos_h = np.asarray(pos_s[:, :kmax]).astype(np.int64)
+            cand_h = np.asarray(cand_s[:, :kmax]).astype(np.int64)
+            len_h = np.asarray(len_s[:, :kmax]).astype(np.int64)
+            cands_h = np.asarray(cands_s[:, :, :smax])
+            lcps_h = np.asarray(lcps_s[:, :, :smax])
+            for r, k in enumerate(idxs):
+                i, base, ctx, n, _ = wins[k]
+                S, K = int(counts_h[r, 0]), int(counts_h[r, 1])
+                if S:
+                    sp, sc, sl = self._arbitrate_window(
+                        fulls[i], base, ctx, n, pos_h[r, :S],
+                        cands_h[r, :, :S], lcps_h[r, :, :S], vn)
+                else:
+                    sp = sc = sl = np.zeros(0, np.int64)
+                dp = pos_h[r, S:K] + base
+                dc = cand_h[r, S:K] + base
+                dl = len_h[r, S:K]
+                out[k] = (np.concatenate([sp, dp]),
+                          np.concatenate([sc, dc]),
+                          np.concatenate([sl, dl]))
+        return out
+
     def _device_matches(self, src: bytes, vn: bool) -> MatchStream:
-        """Full-buffer match stream via overlapping device windows."""
+        """Full-buffer match stream via overlapping device windows (all
+        windows of the buffer batch into one dispatch per size bucket)."""
         from ..spec.match_find import _lcp_backward
 
         full = np.frombuffer(src, dtype=np.uint8)
-        parts = [self._window_matches(full, s, vn)
-                 for s in range(0, len(src), WINDOW_STRIDE)]
+        wins = []
+        for start in range(0, len(src), WINDOW_STRIDE):
+            base, ctx, n, N = self._window_geometry(len(src), start)
+            wins.append((0, base, ctx, n, N))
+        win_out = self._windows_compact({0: full}, wins, vn)
+        parts = [win_out[k] for k in range(len(wins))]
         pos_k = np.concatenate([p for p, _, _ in parts])
         cand_k = np.concatenate([c for _, c, _ in parts])
         fwd_k = np.concatenate([f for _, _, f in parts])
@@ -193,8 +254,6 @@ class TpuEncoder:
         arrays — ~36MB per 1MiB window — which at PCIe rates is
         milliseconds; see CLAUDE.md on timing there.) Output is
         byte-identical to encode_bytes for each source."""
-        import jax.numpy as jnp
-        from ..ops.match_find_tpu import find_matches_batch
         from ..spec.match_find import _lcp_backward
 
         results: list = [None] * len(sources)
@@ -215,27 +274,7 @@ class TpuEncoder:
             for start in range(0, n_full, WINDOW_STRIDE):
                 base, ctx, n, N = self._window_geometry(n_full, start)
                 wins.append((i, base, ctx, n, N))
-        by_n: dict = {}
-        for k, w in enumerate(wins):
-            by_n.setdefault(w[4], []).append(k)
-        win_out: dict = {}
-        for N, idxs in sorted(by_n.items()):
-            pads = np.zeros((len(idxs), N), dtype=np.uint8)
-            n_reals = np.empty(len(idxs), np.int32)
-            for r, k in enumerate(idxs):
-                i, base, ctx, n, _ = wins[k]
-                pads[r, :n] = fulls[i][base:base + n]
-                n_reals[r] = n
-            pos_b, cands_b, lcps_b = find_matches_batch(
-                jnp.asarray(pads), jnp.asarray(n_reals), False)
-            pos_b = np.asarray(pos_b)
-            cands_b = np.asarray(cands_b)
-            lcps_b = np.asarray(lcps_b)
-            for r, k in enumerate(idxs):
-                i, base, ctx, n, _ = wins[k]
-                win_out[k] = self._arbitrate_window(
-                    fulls[i], base, ctx, n, pos_b[r], cands_b[r],
-                    lcps_b[r], False)
+        win_out = self._windows_compact(fulls, wins, False)
 
         # per-source: merge windows into one absolute-coordinate stream
         streams: dict = {}

@@ -115,3 +115,55 @@ def find_matches_batch(src_pads: jnp.ndarray, n_reals: jnp.ndarray,
     return jax.vmap(
         lambda s, n: find_matches_device.__wrapped__(s, n, vn),
         in_axes=(0, 0))(src_pads, n_reals)
+
+
+def _compact_one(src_pad, n_real, lo, hi, vn: bool):
+    """Device-side FIFO strict-max arbitration + compaction for one window.
+
+    Rows whose arbitration is certain on-device (no candidate saturated at
+    the compare WINDOW or truncated by the chunk end) finish here; rows
+    needing exact host re-extension sort to the front, then other matched
+    rows, then everything else — so the host downloads counts first and
+    then only count-bounded slices (the 9-words-per-position full download
+    dominated encode wall time). lo/hi bound the payload region (context
+    and overhang probes are discarded on-device)."""
+    pos, cands, lcps = find_matches_device.__wrapped__(src_pad, n_real, vn)
+    best_len = jnp.zeros_like(pos)
+    best_cand = jnp.zeros_like(pos)
+    sat = jnp.zeros(pos.shape, bool)
+    for r in range(cands.shape[0]):
+        cand = cands[r]
+        lcp = lcps[r]
+        okc = cand >= 0
+        if vn:
+            mlen = jnp.where(lcp >= 4, lcp, jnp.where(lcp == 3, 3, 0))
+        else:
+            mlen = jnp.where(lcp >= 4, lcp, 0)
+        mlen = jnp.where(okc, mlen, 0)
+        sat = sat | (okc & ((lcp == WINDOW) | (pos + lcp >= n_real)))
+        take = mlen > best_len
+        best_len = jnp.where(take, mlen, best_len)
+        best_cand = jnp.where(take, cand, best_cand)
+    payload = (pos >= lo) & (pos < hi)
+    sat = payload & sat
+    matched = payload & ((best_len > 0) | sat)
+    key = jnp.where(sat, 0, jnp.where(matched, 1, 2)).astype(jnp.int32)
+    order2 = jnp.argsort(key, stable=True).astype(jnp.int32)
+    counts = jnp.stack([jnp.sum(sat.astype(jnp.int32)),
+                        jnp.sum(matched.astype(jnp.int32))])
+    return (counts, jnp.take(pos, order2), jnp.take(best_cand, order2),
+            jnp.take(best_len, order2), jnp.take(cands, order2, axis=1),
+            jnp.take(lcps, order2, axis=1))
+
+
+@functools.partial(jax.jit, static_argnames=("vn",))
+def find_matches_compact(src_pads: jnp.ndarray, n_reals: jnp.ndarray,
+                         los: jnp.ndarray, his: jnp.ndarray, vn: bool):
+    """Batched compact window match finding (see _compact_one). Returns
+    (counts (B,2) [n_sat, n_matched], pos (B,N), best_cand (B,N),
+    best_len (B,N), cands (B,HASH_WIDTH,N), lcps (B,HASH_WIDTH,N)) —
+    each window's rows ordered sat-first then matched; callers slice by
+    the counts before downloading."""
+    return jax.vmap(
+        lambda s, n, lo, hi: _compact_one(s, n, lo, hi, vn),
+        in_axes=(0, 0, 0, 0))(src_pads, n_reals, los, his)
