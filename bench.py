@@ -23,6 +23,12 @@ corpus batch (~30 MB) moves in ~2 ms, <2% of the pipeline.
 vs_baseline compares against the reference C library's aggregate full-decode
 throughput on the same corpus (BASELINE.md lzfse_ref column, size-weighted
 aggregate = 0.46 GB/s on the i5-2500K).
+
+When the pipelined serving path (decode_many_pipelined, three overlapped
+planes) measurably beats the sequential wall clock under identical tunnel
+conditions, the headline becomes the sum-model time minus the MEASURED
+wall-clock saving — a conservative lower bound on the pipeline's real
+throughput (the plane-max model would claim more).
 """
 
 import hashlib
@@ -221,6 +227,41 @@ def bench_tpu_full_decode():
         "entropy_stage_GBps": round(total_raw / t_dev / 1e9, 4),
         "raw_bytes": total_raw,
     }
+
+    # Pipelined serving path (decode_many_pipelined): the three planes —
+    # host front (parse+prep), device kernels, host back (flatten+rebuild)
+    # — overlap across sub-batches, so steady-state throughput is bounded
+    # by the slowest plane, not the stage sum. Evidence that the overlap is
+    # real comes from wall clock measured under identical tunnel conditions:
+    # both walls carry the same per-dispatch RTT inflation, so the
+    # sequential-minus-pipelined difference isolates the overlap gain. The
+    # reported pipelined number is conservative: the sum-model total minus
+    # the MEASURED wall-clock saving (never the pure plane-max model).
+    try:
+        outs_p = dec.decode_many_pipelined(batch, n_sub=4)  # warm
+        for i, out in enumerate(outs_p):
+            want = hashes[i % len(srcs)]
+            assert hashlib.sha256(out).digest() == want
+        w_seq, w_pipe = [], []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            dec.decode_many(batch)
+            w_seq.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            st: dict = {}
+            dec.decode_many_pipelined(batch, stats=st, n_sub=4)
+            assert st.get("fallbacks", 0) == 0
+            w_pipe.append(time.perf_counter() - t0)
+        ws, wp = sorted(w_seq)[1], sorted(w_pipe)[1]
+        saving = max(ws - wp, 0.0)
+        t_pipe = max(t_full - saving, 1e-9)
+        extra["pipelined_wall_s"] = round(wp, 4)
+        extra["sequential_wall_s"] = round(ws, 4)
+        extra["pipelined_GBps"] = round(total_raw / t_pipe / 1e9, 4)
+        if saving > 0:
+            return total_raw / t_pipe / 1e9, extra
+    except Exception as e:
+        extra["pipelined_error"] = f"{type(e).__name__}: {e}"
     return total_raw / t_full / 1e9, extra
 
 
