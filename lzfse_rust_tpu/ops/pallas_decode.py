@@ -64,6 +64,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ..base import constants as C
 
 EPOCH = 64   # steps between chunk refreshes; 64*51 bits = 102 words < 126
+# Halfword-window literal variant: the compacted window stores, per
+# halfword index h, the 32 bits starting at bit 16*h — a k<=10-bit read
+# then needs ONE gather (no lo/hi funnel pair). 32-(p&15) >= 17 valid
+# bits >= 10 always suffice. The window covers 128 halfwords, so the
+# epoch shrinks to 32 steps (32*4*10 bits = 80 halfwords consumed < 127).
+EPOCH_HALF = 32
 R_SUB = 8    # sublane rows per grid step (one vreg)
 
 # Batch granularity: B must be a multiple of every possible R_SUB * G, so
@@ -248,12 +254,81 @@ def _refresh_compact(pos, win_ref, pos_s_ref, chunk_ref, g_sec, w_words):
         chunk_ref[:, g * 256 + 128:g * 256 + 256] = c1
 
 
+def _cstart_h(pos):
+    """Halfword-window analogue of _cstart: stream halfword index that
+    compacted entry 0 maps to after a refresh at position `pos` (127
+    halfwords below the current halfword, clipped at 0). An EPOCH_HALF
+    epoch consumes at most ~80 halfwords, so in-epoch reads stay inside
+    the 128-entry window."""
+    p = jnp.maximum(pos, 0)
+    return jnp.maximum((p >> 4) - 127, 0)
+
+
+def _refresh_half(pos, win_ref, pos_s_ref, chunk_ref, g_sec, w_words):
+    """Halfword-granular window refresh: after the scalar 256-word aligned
+    slice (as _refresh_compact), the vector stage builds, for each section,
+    128 combined words C[i] = stream bits [16*(start_h+i), +32) — word
+    w = (start_h+i)>>1 funneled with w+1 on odd halfword parity. Per-step
+    reads then cost ONE gather and no funnel. C lands in the section's
+    first 128 chunk words; the second 128 stay as stale staging."""
+    sw = 128 // g_sec
+    pos_s_ref[:, :] = pos
+    for r in range(R_SUB):
+        for g in range(g_sec):
+            p0 = jnp.maximum(pos_s_ref[r, g * sw], 0)
+            start_h = jnp.maximum((p0 >> 4) - 127, 0)
+            base = jnp.clip((start_h >> 1) & ~127, 0, w_words - 256)
+            src = pl.multiple_of(g * w_words + base, 128)
+            chunk_ref[pl.ds(r, 1), pl.ds(g * 256, 256)] = \
+                win_ref[pl.ds(r, 1), pl.ds(src, 256)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R_SUB, 128), 1)
+    start_h_v = _cstart_h(pos)
+    base_v = jnp.clip((start_h_v >> 1) & ~127, 0, w_words - 256)
+    for g in range(g_sec):
+        sel = jnp.full((R_SUB, 128), g * sw, jnp.int32)
+        sh = jnp.take_along_axis(start_h_v, sel, axis=1)
+        bs = jnp.take_along_axis(base_v, sel, axis=1)
+        tA = chunk_ref[:, g * 256:g * 256 + 128]
+        tB = chunk_ref[:, g * 256 + 128:g * 256 + 256]
+        a = sh + lane                 # stream halfword index
+        wi = (a >> 1) - bs            # word index within the 256 slice
+        lo = jnp.where(wi < 128,
+                       jnp.take_along_axis(tA, wi & 127, axis=1),
+                       jnp.take_along_axis(tB, wi & 127, axis=1))
+        wi1 = wi + 1
+        hi = jnp.where(wi1 < 128,
+                       jnp.take_along_axis(tA, wi1 & 127, axis=1),
+                       jnp.take_along_axis(tB, wi1 & 127, axis=1))
+        comb = ((lo.astype(jnp.uint32) >> 16)
+                | (hi.astype(jnp.uint32) << 16)).astype(jnp.int32)
+        chunk_ref[:, g * 256:g * 256 + 128] = \
+            jnp.where((a & 1) == 1, comb, lo)
+
+
+def _extract_h(chunk, cstart_h, pos, n_bits, g_sec, sec_id):
+    """Halfword-window extract: one gather per section, no funnel. Valid
+    for n_bits <= 16 (the literal kernel's k <= 10): the combined word at
+    halfword h provides 32-(pos&15) >= 17 bits from position pos."""
+    p = jnp.maximum(pos, 0)
+    hidx = jnp.clip((p >> 4) - cstart_h, 0, 127)
+    w = None
+    for g in range(g_sec):
+        gv = jnp.take_along_axis(chunk[:, g * 256:g * 256 + 128], hidx,
+                                 axis=1)
+        w = gv if w is None else jnp.where(sec_id == g, gv, w)
+    val = w.astype(jnp.uint32) >> (p & 15).astype(jnp.uint32)
+    nb = n_bits.astype(jnp.uint32)
+    bits = (val & ((jnp.uint32(1) << nb) - 1)).astype(jnp.int32)
+    return jnp.where(pos < 0, 0, bits)
+
+
 def _literal_kernel(ns_ref, u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
                     out_ref, fs_ref, fpos_ref,
                     chunk_ref, pos_s_ref, s_c_ref, p_c_ref, *, g_sec,
-                    w_words):
+                    w_words, halfword=False):
+    epoch = EPOCH_HALF if halfword else EPOCH
     sw = 128 // g_sec
-    n_st = EPOCH // sw  # output tiles stored per superepoch
+    n_st = epoch // sw  # output tiles stored per superepoch
     se = pl.program_id(1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (R_SUB, 128), 1)
     glane = lane & (sw - 1)
@@ -278,9 +353,14 @@ def _literal_kernel(ns_ref, u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
 
         def body(carry):
             s, pos = carry
-            _refresh_compact(pos, win_ref, pos_s_ref, chunk_ref, g_sec,
-                             w_words)
-            cstart = _cstart(pos)
+            if halfword:
+                _refresh_half(pos, win_ref, pos_s_ref, chunk_ref, g_sec,
+                              w_words)
+                cstart = _cstart_h(pos)
+            else:
+                _refresh_compact(pos, win_ref, pos_s_ref, chunk_ref, g_sec,
+                                 w_words)
+                cstart = _cstart(pos)
             chunk = chunk_ref[:, :]
 
             def one_step(j, carry):
@@ -299,9 +379,14 @@ def _literal_kernel(ns_ref, u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
                 ksum = k + f1 + (f2 + f3)
                 t = ksum + b1 + (b2 + b3)
                 p_lane = pos - ksum
-                bits = _extract_c(chunk, cstart, p_lane, k, g_sec, sec_id)
+                if halfword:
+                    bits = _extract_h(chunk, cstart, p_lane, k, g_sec,
+                                      sec_id)
+                else:
+                    bits = _extract_c(chunk, cstart, p_lane, k, g_sec,
+                                      sec_id)
                 if masked:
-                    active = ((se * EPOCH + j) * 4) < num
+                    active = ((se * epoch + j) * 4) < num
                     new_s = jnp.where(active, bits + delta, s)
                     new_pos = jnp.where(active, pos - t, pos)
                 else:
@@ -459,24 +544,24 @@ def _lmd_kernel(ns_ref, v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref,
         fpos_ref[:, :] = pos
 
 
-def _group_counts(steps, group, n_se_max):
+def _group_counts(steps, group, n_se_max, epoch=EPOCH):
     """Per-group dynamic superepoch counts. Column 0 is the trip count;
     column 1 counts the leading superepochs where EVERY block in the group
     is fully active (those run the maskless fast path). The caller sorts
     blocks by size so groups are homogeneous."""
     g2 = steps.reshape(-1, group)
-    n_se = jnp.minimum((jnp.max(g2, axis=1) + EPOCH - 1) // EPOCH, n_se_max)
-    n_full = jnp.minimum(jnp.min(g2, axis=1) // EPOCH, n_se)
+    n_se = jnp.minimum((jnp.max(g2, axis=1) + epoch - 1) // epoch, n_se_max)
+    n_full = jnp.minimum(jnp.min(g2, axis=1) // epoch, n_se)
     return jnp.stack([n_se, n_full], axis=1).astype(jnp.int32)
 
 
-def _untangle(out, B, g_sec, n_se_max):
+def _untangle(out, B, g_sec, n_se_max, epoch=EPOCH):
     """Section-major store layout -> per-block rows.
 
     out is (B/G, S*128) where store tile t, lane g*sw + j holds block
     (row*G + g)'s value for step t*sw + (sw-1-j)."""
     sw = 128 // g_sec
-    s_tot = n_se_max * (EPOCH // sw)
+    s_tot = n_se_max * (epoch // sw)
     o = out.reshape(B // g_sec, s_tot, g_sec, sw)[:, :, :, ::-1]
     return o.transpose(0, 2, 1, 3).reshape(B, s_tot * sw)
 
@@ -498,9 +583,9 @@ def _widen(x, B, g_sec):
     return jnp.pad(xb, ((0, 0), (0, 128 - sw)))
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps",))
+@functools.partial(jax.jit, static_argnames=("n_steps", "halfword"))
 def decode_literals_pallas(u_tab, win_words, init_states, init_pos, num,
-                           n_steps: int):
+                           n_steps: int, halfword: bool = False):
     """Batched 4-lane literal decode.
 
     u_tab: (B, 1024) packed int32; win_words: (B, W) uint32 LE words of the
@@ -509,21 +594,24 @@ def decode_literals_pallas(u_tab, win_words, init_states, init_pos, num,
     (B, 128) int32 (lanes 0..3, zeros elsewhere); init_pos/num: (B, 128)
     int32 broadcast. B must be a multiple of R_ROWS. Returns (packed
     literals (B, >=n_steps) int32, final_states (B, 128), final_pos
-    (B, 128))."""
+    (B, 128)). halfword=True selects the EPOCH_HALF halfword-window
+    variant (one window gather per step instead of two)."""
     B, W = win_words.shape
     assert B % R_ROWS == 0
     assert W >= 256
+    epoch = EPOCH_HALF if halfword else EPOCH
     G = _pick_g(W, False)
     rows = R_SUB * G
-    n_se_max = (n_steps + EPOCH - 1) // EPOCH
-    n_st = EPOCH // (128 // G)
+    n_se_max = (n_steps + epoch - 1) // epoch
+    n_st = epoch // (128 // G)
     n_cols = n_se_max * n_st * 128
     grid = (B // rows, n_se_max)
     steps = (num[:, 0] + 3) // 4
-    ns = _group_counts(steps, rows, n_se_max)
+    ns = _group_counts(steps, rows, n_se_max, epoch)
     ns_shape = (B // rows, 2)
     u_split = repack_u_split(u_tab)
-    kernel = functools.partial(_literal_kernel, g_sec=G, w_words=W)
+    kernel = functools.partial(_literal_kernel, g_sec=G, w_words=W,
+                               halfword=halfword)
     out, fs, fp = pl.pallas_call(
         kernel,
         grid=grid,
@@ -563,7 +651,7 @@ def decode_literals_pallas(u_tab, win_words, init_states, init_pos, num,
     )(ns, u_split.reshape(B // G, G * 768),
       win_words.reshape(B // G, G * W), _to_sections(init_states, G),
       _to_sections(init_pos, G), _to_sections(num, G))
-    return (_untangle(out, B, G, n_se_max), _widen(fs, B, G),
+    return (_untangle(out, B, G, n_se_max, epoch), _widen(fs, B, G),
             _widen(fp, B, G))
 
 
