@@ -484,7 +484,6 @@ class TpuDecoder:
             (lit_states_d, lmd_states_d, bl, bm, nl, nm, start_l_d,
              start_m_d) = _expand_smalls_fn()(jnp.asarray(small))
             th.join()
-            take = _take_rows_fn()
             gather = _gather_payload_fn()
             u_sorted = jnp.asarray(u_tabs)
             v_sorted = jnp.asarray(v_tabs)
@@ -502,12 +501,12 @@ class TpuDecoder:
             # packed outputs travel as-is: the literal words ARE the
             # literal bytes little-endian, and the native rebuild consumes
             # lm = l|m<<16 plus raw d (repeat-zeros resolved inline) —
-            # no device unpack, a third less download volume
-            literals = take(lit_pk, jnp.asarray(inv_l))
-            lm_rows = take(lm_pk, jnp.asarray(inv_m))
-            d_rows = take(d_pk, jnp.asarray(inv_m))
+            # no device unpack, a third less download volume. The arrays
+            # stay in the kernels' SORTED order (no device unsort copies);
+            # the back half remaps each part's row indices through the two
+            # sort permutations instead.
             _mark("prep")
-            dev = (literals, lm_rows, d_rows, lit_fs128, lit_fp128,
+            dev = (lit_pk, lm_pk, d_pk, lit_fs128, lit_fp128,
                    lmd_fs128, lmd_fp128, sl_n, sm_n)
         else:
             _mark("prep")
@@ -532,7 +531,7 @@ class TpuDecoder:
 
         dev, parts, cpo, cont_nraw, cont_ok, nb = frame
         if dev is not None:
-            (literals, lm_rows, d_rows, lit_fs128, lit_fp128, lmd_fs128,
+            (lit_pk, lm_pk, d_pk, lit_fs128, lit_fp128, lmd_fs128,
              lmd_fp128, sl_n, sm_n) = dev
             # Stream validity (fse_core.rs:132-140 + literals.rs:79-87)
             lit_fs = np.asarray(lit_fs128)[sl_n, :4]
@@ -546,9 +545,9 @@ class TpuDecoder:
                       & (lmd_fp >= 64))
             fse_ok = lit_ok & lmd_ok
             lit_arr = np.ascontiguousarray(
-                np.asarray(literals)).view(np.uint8)
-            lm_arr = np.ascontiguousarray(np.asarray(lm_rows))
-            d_arr = np.ascontiguousarray(np.asarray(d_rows))
+                np.asarray(lit_pk)).view(np.uint8)
+            lm_arr = np.ascontiguousarray(np.asarray(lm_pk))
+            d_arr = np.ascontiguousarray(np.asarray(d_pk))
             _mark("device")
         else:
             fse_ok = np.zeros(0, bool)
@@ -576,6 +575,15 @@ class TpuDecoder:
             out_offs.append(out_offs[-1] + int(cont_nraw[ci]))
         parts_np = (np.ascontiguousarray(np.concatenate(keep_parts))
                     if keep_parts else np.zeros((0, 6), np.int32))
+        # the downloaded arrays are in kernel-sorted order: point each FSE
+        # part at its block's sorted rows (P[1] = lm/d slot, P[4] = lit
+        # slot; parts_np is a fresh copy, safe to rewrite)
+        if len(parts_np):
+            k0 = parts_np[:, 0] == 0
+            if k0.any():
+                g = parts_np[k0, 1]
+                parts_np[k0, 1] = sm_n[g]
+                parts_np[k0, 4] = sl_n[g]
         cont_off_np = np.zeros(len(cont_ids) + 1, np.int32)
         if keep_parts:
             cont_off_np[1:] = np.cumsum([len(p) for p in keep_parts])
@@ -978,8 +986,11 @@ class TpuDecoder:
                 for part in pc.parts:
                     if part[0] == "fse":
                         d = fse_blocks[part[1]]
+                        # P[1]/P[4]: lm-d / literal array rows (this path
+                        # passes unsorted arrays, so both equal the global
+                        # block index)
                         part_rows.append((0, part[1], d.block.lmd.num,
-                                          d.block.literal.num, 0, 0))
+                                          d.block.literal.num, part[1], 0))
                     else:
                         rows, lits = part[1], part[2]
                         if isinstance(lits, (bytes, bytearray)):

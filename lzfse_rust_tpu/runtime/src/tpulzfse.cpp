@@ -1738,13 +1738,17 @@ long long tl_flatten_rebuild(
       }
       if (P[0] == 0) {
         // packed device rows: lm = l | m << 16, d raw (0 = repeat the
-        // running distance, reset per block — lmd.rs repeat-D rule)
+        // running distance, reset per block — lmd.rs repeat-D rule).
+        // P[1] is the block's row in the lm/d arrays and P[4] its row in
+        // the literal array — the caller passes the kernels' SORTED
+        // outputs directly (no device-side unsort copies) and remaps the
+        // part indices through the two sort permutations host-side.
         const int* lm = lm_rows + (size_t)P[1] * lmd_stride;
         const int* dr = d_rows + (size_t)P[1] * lmd_stride;
-        const uint8_t* lits = lit_rows + (size_t)P[1] * lit_stride;
+        const uint8_t* lits = lit_rows + (size_t)P[4] * lit_stride;
         size_t n_rows = (size_t)P[2];
         size_t lit_cap = (size_t)P[3];
-        size_t lit_avail = lit_rows_total - (size_t)P[1] * lit_stride;
+        size_t lit_avail = lit_rows_total - (size_t)P[4] * lit_stride;
         size_t li = 0;
         uint32_t dist = 0;
         for (size_t i = 0; i < n_rows; i++) {
