@@ -253,10 +253,13 @@ def flatten_rebuild(lm_rows, d_rows, lit_rows, parts, cont_part_off,
     n_conts = len(out_offs) - 1
     status = np.empty(n_conts, np.int64)
     ptrs = _src_ptrs(list(sources) or [b""])
+    # 2-D arrays: part row indices scale by the row stride. 1-D (dense
+    # compacted) arrays: stride 1, so part indices are absolute word/byte
+    # offsets.
     _lib().tl_flatten_rebuild(
         lm_rows.ctypes.data, d_rows.ctypes.data, lit_rows.ctypes.data,
-        lm_rows.shape[1] if lm_rows.ndim == 2 else 0,
-        lit_rows.shape[1] if lit_rows.ndim == 2 else 0,
+        lm_rows.shape[1] if lm_rows.ndim == 2 else 1,
+        lit_rows.shape[1] if lit_rows.ndim == 2 else 1,
         parts.ctypes.data, cont_part_off.ctypes.data, out_offs.ctypes.data,
         host_rows.ctypes.data, host_lits.ctypes.data, out.ctypes.data,
         status.ctypes.data, n_conts, lit_rows.size, host_lits.size,
