@@ -90,26 +90,44 @@ def _pick_g(w_words: int, two_outputs: bool) -> int:
     return 16 if w_words <= limit else 8
 
 
+def _bit_merge(parts, key):
+    """Balanced select-merge: parts[i] is the valid result where key == i.
+    Level k selects on bit k of key, so the merge is a log2(len) DEPTH
+    select tree with the same select COUNT as the serial
+    where(key==i, ...) chain it replaces — the chain's len-1 dependent
+    selects were a latency bottleneck at G=16 sections (~40% of kernel
+    step time was select-chain)."""
+    bit = 1
+    while len(parts) > 1:
+        m = (key & bit) != 0
+        nxt = [jnp.where(m, parts[i + 1], parts[i])
+               for i in range(0, len(parts) - 1, 2)]
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        bit <<= 1
+        parts = nxt
+    return parts[0]
+
+
 def _lookup_sec(tab, state, n_states, g_sec, sec_id):
     """Sectioned gather: out[r, l] = tab_{sec(l)}[r, state[r, l]].
 
     tab is (R_SUB, g_sec*n_states) with section g's table at columns
     [g*n_states, (g+1)*n_states). Gathers every 128-lane tile of every
-    section; merges by hoisted chunk masks + the static section mask.
+    section; merges chunks then sections via balanced select trees.
     """
     lo = state & 127
     hi = state >> 7
     n_chunks = n_states // 128
-    masks = [hi == c for c in range(1, n_chunks)]
-    e = None
+    secs = []
     for g in range(g_sec):
-        eg = None
-        for c in range(n_chunks):
-            o = g * n_states + c * 128
-            gv = jnp.take_along_axis(tab[:, o:o + 128], lo, axis=1)
-            eg = gv if eg is None else jnp.where(masks[c - 1], gv, eg)
-        e = eg if e is None else jnp.where(sec_id == g, eg, e)
-    return e
+        chunks = [
+            jnp.take_along_axis(
+                tab[:, g * n_states + c * 128:g * n_states + (c + 1) * 128],
+                lo, axis=1)
+            for c in range(n_chunks)]
+        secs.append(_bit_merge(chunks, hi))
+    return _bit_merge(secs, sec_id)
 
 
 def _split_lookup_sec(tab, state, g_sec, sec_id):
@@ -122,23 +140,22 @@ def _split_lookup_sec(tab, state, g_sec, sec_id):
     kd_i = state >> 1
     kd_lo = kd_i & 127
     kd_hi = kd_i >> 7
-    kd_masks = [kd_hi == c for c in range(1, 4)]
     sy_lo = (state >> 2) & 127
     sy_hi = state >> 9
-    kd = None
-    sy = None
+    kd_secs = []
+    sy_secs = []
     for g in range(g_sec):
         o = g * 768
-        eg = None
-        for c in range(4):
-            gv = jnp.take_along_axis(tab[:, o + c * 128:o + (c + 1) * 128],
-                                     kd_lo, axis=1)
-            eg = gv if eg is None else jnp.where(kd_masks[c - 1], gv, eg)
-        kd = eg if kd is None else jnp.where(sec_id == g, eg, kd)
+        chunks = [
+            jnp.take_along_axis(tab[:, o + c * 128:o + (c + 1) * 128],
+                                kd_lo, axis=1)
+            for c in range(4)]
+        kd_secs.append(_bit_merge(chunks, kd_hi))
         sa = jnp.take_along_axis(tab[:, o + 512:o + 640], sy_lo, axis=1)
         sb = jnp.take_along_axis(tab[:, o + 640:o + 768], sy_lo, axis=1)
-        sg = jnp.where(sy_hi == 0, sa, sb)
-        sy = sg if sy is None else jnp.where(sec_id == g, sg, sy)
+        sy_secs.append(jnp.where(sy_hi == 0, sa, sb))
+    kd = _bit_merge(kd_secs, sec_id)
+    sy = _bit_merge(sy_secs, sec_id)
     kdv = (kd.astype(jnp.uint32)
            >> ((state & 1) << 4).astype(jnp.uint32)).astype(jnp.int32)
     sym = (sy.astype(jnp.uint32)
@@ -167,12 +184,10 @@ def _chunk_word_c(chunk, widx, g_sec, sec_id, off):
     """Compacted-window word read: ONE gather per section. off=0 reads the
     c0 tiles (stream word start+widx), off=128 the c1 tiles (start+1+widx).
     widx must already be clipped to [0, 127]."""
-    w = None
-    for g in range(g_sec):
-        o = g * 256 + off
-        gv = jnp.take_along_axis(chunk[:, o:o + 128], widx, axis=1)
-        w = gv if w is None else jnp.where(sec_id == g, gv, w)
-    return w
+    return _bit_merge(
+        [jnp.take_along_axis(chunk[:, g * 256 + off:g * 256 + off + 128],
+                             widx, axis=1)
+         for g in range(g_sec)], sec_id)
 
 
 def _extract_c(chunk, cstart, pos, n_bits, g_sec, sec_id):
@@ -311,11 +326,9 @@ def _extract_h(chunk, cstart_h, pos, n_bits, g_sec, sec_id):
     halfword h provides 32-(pos&15) >= 17 bits from position pos."""
     p = jnp.maximum(pos, 0)
     hidx = jnp.clip((p >> 4) - cstart_h, 0, 127)
-    w = None
-    for g in range(g_sec):
-        gv = jnp.take_along_axis(chunk[:, g * 256:g * 256 + 128], hidx,
-                                 axis=1)
-        w = gv if w is None else jnp.where(sec_id == g, gv, w)
+    w = _bit_merge(
+        [jnp.take_along_axis(chunk[:, g * 256:g * 256 + 128], hidx, axis=1)
+         for g in range(g_sec)], sec_id)
     val = w.astype(jnp.uint32) >> (p & 15).astype(jnp.uint32)
     nb = n_bits.astype(jnp.uint32)
     bits = (val & ((jnp.uint32(1) << nb) - 1)).astype(jnp.int32)
