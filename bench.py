@@ -155,31 +155,64 @@ def _device_time_injit(srcs):
     def bc(x):
         return jnp.asarray(np.repeat(x[:, None], 128, 1).astype(np.int32))
 
+    # device-side output compaction (decode_many downloads dense used-row
+    # prefixes) is part of the device stage — time it in-jit too. Kernel
+    # output widths come from the wrappers' shape logic via eval_shape.
+    def _kshapes():
+        lit_sh = jax.eval_shape(
+            functools.partial(decode_literals_pallas,
+                              n_steps=C.LITERALS_PER_BLOCK // 4,
+                              halfword=M._LIT_HALF),
+            jax.ShapeDtypeStruct((B, 1024), jnp.int32),
+            jax.ShapeDtypeStruct((B, lw), jnp.int32),
+            *[jax.ShapeDtypeStruct((B, 128), jnp.int32)] * 3)[0]
+        lmd_sh = jax.eval_shape(
+            functools.partial(decode_lmds_pallas, n_steps=C.LMDS_PER_BLOCK),
+            jax.ShapeDtypeStruct((B, 384), jnp.int32),
+            jax.ShapeDtypeStruct((B, mw), jnp.int32),
+            *[jax.ShapeDtypeStruct((B, 128), jnp.int32)] * 3)[0]
+        return int(lit_sh.shape[1]), int(lmd_sh.shape[1])
+
+    lit_cols, lmd_cols = _kshapes()
+    map_l, _ = M._compact_map((lit_num[perm_l] + 3) // 4, lit_cols)
+    map_m, _ = M._compact_map(lmd_num[perm_m], lmd_cols)
+
     args = (jnp.asarray(u_tabs), jnp.asarray(v_tabs),
             jnp.asarray(np.ascontiguousarray(cat2d)),
             jnp.asarray(start_l), jnp.asarray(start_m),
             vec(lit_states[perm_l]),
             vec(lmd_states[perm_m]), bc(lit_pos[perm_l]), bc(lmd_pos[perm_m]),
-            bc(lit_num[perm_l]), bc(lmd_num[perm_m]))
+            bc(lit_num[perm_l]), bc(lmd_num[perm_m]),
+            jnp.asarray(map_l), jnp.asarray(map_m))
 
     @functools.partial(jax.jit, static_argnames="n_rep")
-    def pipe(UT, VT, CAT, SL, SM, LS, MS, LP, MP, LN, MN, n_rep):
+    def pipe(UT, VT, CAT, SL, SM, LS, MS, LP, MP, LN, MN, ML, MM, n_rep):
         def gath(starts, w_words):
             idx = (starts[:, None]
                    + jnp.arange(w_words // 128, dtype=jnp.int32)[None, :])
             return jnp.take(CAT, idx.reshape(-1), axis=0).reshape(
                 B, w_words)
 
+        def comp(x2d, rows_idx):
+            Bx, n = x2d.shape
+            return jnp.take(x2d.reshape(Bx * (n // 64), 64), rows_idx,
+                            axis=0)
+
         def body(r, acc):
             LW = gath(SL + r - r, lw)
             MW = gath(SM + r - r, mw)
             lits, lfs, _ = decode_literals_pallas(
                 UT + r - r, LW, LS, LP + r - r, LN,
-                C.LITERALS_PER_BLOCK // 4)
+                C.LITERALS_PER_BLOCK // 4, halfword=M._LIT_HALF)
             lm, dd, mfs, _ = decode_lmds_pallas(
                 VT + r - r, MW, MS, MP + r - r, MN,
                 C.LMDS_PER_BLOCK)
-            return acc + jnp.sum(lfs) + jnp.sum(mfs) + lits[0, 0] + lm[0, 0]
+            # sum (not a single element) so XLA cannot narrow the gathers
+            lit_c = comp(lits, ML)
+            lm_c = comp(lm, MM)
+            d_c = comp(dd, MM)
+            return (acc + jnp.sum(lfs) + jnp.sum(mfs) + jnp.sum(lit_c)
+                    + jnp.sum(lm_c) + jnp.sum(d_c))
         return jax.lax.fori_loop(0, n_rep, body, jnp.int32(0))
 
     f1 = lambda: float(pipe(*args, n_rep=1))
