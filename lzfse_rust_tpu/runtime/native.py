@@ -38,6 +38,9 @@ def _configure(lib) -> None:
     lib.tl_decode.restype = ctypes.c_longlong
     lib.tl_decode.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                               ctypes.c_char_p, ctypes.c_size_t]
+    lib.tl_decode_mt.restype = ctypes.c_longlong
+    lib.tl_decode_mt.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                 ctypes.c_char_p, ctypes.c_size_t]
     lib.tl_encode_bound.restype = ctypes.c_longlong
     lib.tl_encode_bound.argtypes = [ctypes.c_size_t]
     lib.tl_encode.restype = ctypes.c_longlong
@@ -110,7 +113,12 @@ def _configure(lib) -> None:
                                  ctypes.c_size_t]
 
 
-def decode_bytes(src: bytes) -> bytes:
+def decode_bytes(src: bytes, parallel: bool | None = None) -> bytes:
+    """One-shot container decode. `parallel=None` auto-selects the
+    multi-threaded engine (tl_decode_mt: per-block entropy decode on a
+    worker pool + in-order LZ replay; byte-identical output, identical
+    error codes — it falls back to the sequential engine on any error or
+    when the container has too few FSE blocks to pay for threads)."""
     import ctypes
     import numpy as np
     from ..base.errors import DecodeError
@@ -121,8 +129,8 @@ def decode_bytes(src: bytes) -> bytes:
     # np.empty avoids the zero-fill of create_string_buffer — that memset
     # runs under the GIL and throttles thread-pooled batch decodes
     out = np.empty(max(int(bound), 1), dtype=np.uint8)
-    n = lib.tl_decode(src, len(src),
-                      out.ctypes.data_as(ctypes.c_char_p), int(bound))
+    fn = lib.tl_decode if parallel is False else lib.tl_decode_mt
+    n = fn(src, len(src), out.ctypes.data_as(ctypes.c_char_p), int(bound))
     if n < 0:
         raise DecodeError(f"decode failed: {n}")
     return out[:n].tobytes()

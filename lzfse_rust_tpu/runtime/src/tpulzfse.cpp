@@ -17,7 +17,10 @@
 #include <cstdint>
 #include <cstring>
 #include <atomic>
+#include <condition_variable>
 #include <cstdlib>
+#include <functional>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -501,6 +504,42 @@ struct FseDecoder {
     if (lit_idx > h.lit_num || n_match + lit_idx != h.n_raw_bytes) return -E_FSE;
     return 0;
   }
+
+  // Rows-producing LMD decode for the parallel one-shot path: identical
+  // stream semantics and validity checks to decode_lmds_to, but (l, m,
+  // raw-d) land in `rows` instead of the sink — repeat-D resolution and
+  // the distance-vs-produced check happen at ordered replay time (the
+  // sink's write_match validates d exactly as the sequential path).
+  struct Row { uint16_t l, m; uint32_t d; };
+  int decode_lmds_rows(Row* rows, const uint8_t* payload, size_t n,
+                       const FseHeader& h) {
+    BitRd br;
+    if (!make_reader(&br, payload, n, (int)h.lmd_bits)) return -E_BADBITS;
+    int sl = h.lmd_state[0], sm = h.lmd_state[1] + L_STATES,
+        sd = h.lmd_state[2] + L_STATES + M_STATES;
+    uint32_t lit_idx = 0, n_match = 0;
+    for (uint32_t i = 0; i < h.lmd_num; i++) {
+      br.flush();
+      const VEntry& el = tabs.v[sl];
+      sl = (int)br.pull(el.k) + el.delta;
+      uint32_t l = el.vbase + br.pull(el.vbits);
+      const VEntry& em = tabs.v[sm];
+      sm = (int)br.pull(em.k) + em.delta;
+      uint32_t m = em.vbase + br.pull(em.vbits);
+      const VEntry& ed = tabs.v[sd];
+      sd = (int)br.pull(ed.k) + ed.delta;
+      uint32_t d = ed.vbase + br.pull(ed.vbits);
+      if (lit_idx + l > h.lit_num || lit_idx + l > LITERALS_PER_BLOCK)
+        return -E_FSE;
+      lit_idx += l;
+      n_match += m;
+      rows[i] = Row{(uint16_t)l, (uint16_t)m, d};
+    }
+    if (!br.finalize()) return -E_UNDERFLOW;
+    if (sl != 0 || sm != L_STATES || sd != L_STATES + M_STATES) return -E_FSE;
+    if (lit_idx > h.lit_num || n_match + lit_idx != h.n_raw_bytes) return -E_FSE;
+    return 0;
+  }
 };
 
 // LZVN op decode (src/vn/constants.rs:38-72 grammar)
@@ -641,6 +680,276 @@ static int64_t decode_container(const uint8_t* src, size_t n, uint8_t* dst, size
   size_t out = sink.len;
   delete fd;
   return rc ? rc : (int64_t)out;
+}
+
+// ========================================================== PARALLEL DECODE
+// Multi-threaded one-shot decode. FSE blocks are entropy-independent (each
+// header carries its own weights and initial states), so their tANS decode
+// parallelizes across a persistent worker pool; only the LZ replay is
+// sequential (matches reference earlier output, so block replay must run
+// in container order). Workers decode blocks into a bounded window of
+// slots; the calling thread replays finished slots in order into the sink.
+// Output is byte-identical to decode_container by construction, and ANY
+// error (structure, entropy, or replay) re-runs the whole container
+// through decode_container so error semantics are exactly the sequential
+// engine's. The reference decoder is one sequential state machine
+// (src/decode/decoder.rs:72-99); this parallel plane has no counterpart.
+
+struct WorkerPool {
+  std::mutex mu;
+  std::condition_variable cv_go, cv_fin;
+  uint64_t gen = 0;
+  int n_threads = 0, n_done = 0;
+  std::function<void()> job;
+  std::mutex serial;  // one parallel decode at a time (try_lock by callers)
+
+  void ensure_locked() {
+    if (n_threads) return;
+    unsigned hc = std::thread::hardware_concurrency();
+    if (hc > 8) hc = 8;
+    n_threads = hc > 2 ? (int)hc - 1 : 1;  // leave the replay thread a core
+    for (int t = 0; t < n_threads; t++) {
+      std::thread([this] {
+        uint64_t seen = 0;
+        std::unique_lock<std::mutex> lk(mu);
+        for (;;) {
+          cv_go.wait(lk, [&] { return gen != seen; });
+          seen = gen;
+          std::function<void()> f = job;
+          lk.unlock();
+          f();
+          lk.lock();
+          if (++n_done == n_threads) cv_fin.notify_all();
+        }
+      }).detach();
+    }
+  }
+  void launch(std::function<void()> f) {
+    std::lock_guard<std::mutex> lk(mu);
+    ensure_locked();
+    job = std::move(f);
+    n_done = 0;
+    gen++;
+    cv_go.notify_all();
+  }
+  void wait() {
+    std::unique_lock<std::mutex> lk(mu);
+    cv_fin.wait(lk, [&] { return n_done == n_threads; });
+  }
+};
+
+static WorkerPool& mt_pool() {
+  // intentionally leaked: destroying a condvar with detached waiters at
+  // process exit is UB (observed as an exit hang)
+  static WorkerPool* p = new WorkerPool();
+  return *p;
+}
+
+struct MtSlot {
+  FseDecoder fd;
+  std::vector<FseDecoder::Row> rows;
+  int rc = 0;
+};
+
+constexpr size_t MT_SLOTS = 24;
+
+// persistent slot arena (leaked; ~3.5MB): per-call allocation + first-touch
+// page faults of the 130KB/slot buffers cost more than the decode of a
+// typical block. pool.serial guarantees exclusive use.
+static std::vector<MtSlot>& mt_slots() {
+  static std::vector<MtSlot>* s = [] {
+    auto* v = new std::vector<MtSlot>(MT_SLOTS);
+    for (auto& x : *v) x.rows.resize(LMDS_PER_BLOCK);
+    return v;
+  }();
+  return *s;
+}
+
+static int64_t decode_container_mt(const uint8_t* src, size_t n, uint8_t* dst,
+                                   size_t cap) {
+  // walk: structure + header validation mirroring decode_container; any
+  // rejection (or a dirty tail) defers to the sequential engine so the
+  // reported error is exactly its code
+  struct BD {
+    uint8_t kind;  // 0 fse, 1 vn, 2 raw
+    uint8_t v2;
+    FseHeader h;
+    uint32_t n_weights;
+    size_t wts_off, lit_off, lmd_off;
+    size_t pay_off;
+    uint32_t n_raw, n_pay;
+  };
+  std::vector<BD> blocks;
+  size_t n_fse = 0, pos = 0;
+  bool clean = false;
+  for (;;) {
+    if (n - pos < 4 || pos > n) break;
+    uint32_t magic = rd32(src + pos);
+    if (magic == MAGIC_EOS) {
+      pos += 4;
+      clean = pos == n;
+      break;
+    }
+    if (magic == MAGIC_VX2 || magic == MAGIC_VX1) {
+      BD b;
+      b.kind = 0;
+      b.v2 = magic == MAGIC_VX2;
+      size_t header;
+      if (b.v2) {
+        if (n - pos < (size_t)V2_HEADER) break;
+        parse_v2_header(src + pos, &b.h, &b.n_weights);
+        if (b.n_weights > (uint32_t)V2_WEIGHTS_MAX) break;
+        header = V2_HEADER;
+      } else {
+        if (n - pos < (size_t)V1_HEADER) break;
+        if (parse_v1_header(src + pos, &b.h)) break;
+        b.n_weights = V1_WEIGHTS;
+        header = V1_HEADER;
+      }
+      if (!validate_header(b.h)) break;
+      if (n - pos < header + b.n_weights + b.h.lit_pay + b.h.lmd_pay) break;
+      b.wts_off = pos + header;
+      b.lit_off = pos + header + b.n_weights - 8;  // 8-byte borrow
+      b.lmd_off = pos + header + b.n_weights + b.h.lit_pay;
+      blocks.push_back(b);
+      n_fse++;
+      pos += header + b.n_weights + b.h.lit_pay + b.h.lmd_pay;
+    } else if (magic == MAGIC_VXN) {
+      if (n - pos < 12) break;
+      BD b;
+      b.kind = 1;
+      b.n_raw = rd32(src + pos + 4);
+      b.n_pay = rd32(src + pos + 8);
+      if (n - pos < 12 + (size_t)b.n_pay) break;
+      b.pay_off = pos + 12;
+      blocks.push_back(b);
+      pos += 12 + b.n_pay;
+    } else if (magic == MAGIC_RAW) {
+      if (n - pos < 8) break;
+      BD b;
+      b.kind = 2;
+      b.n_raw = rd32(src + pos + 4);
+      if (n - pos < 8 + (size_t)b.n_raw) break;
+      b.pay_off = pos + 8;
+      blocks.push_back(b);
+      pos += 8 + b.n_raw;
+    } else {
+      break;
+    }
+  }
+  // threads pay off only once the pipeline reaches steady state: below
+  // ~16 FSE blocks (~1.5MB raw) the wake latency + the rows pass's extra
+  // memory traffic outweigh the overlap (measured on the corpus: per-file
+  // mt was 5-10% SLOWER; a 300-block container is 1.25x faster)
+  WorkerPool& pool = mt_pool();
+  if (!clean || n_fse < 16 || std::thread::hardware_concurrency() < 2
+      || !pool.serial.try_lock())
+    return decode_container(src, n, dst, cap);
+  std::lock_guard<std::mutex> sl(pool.serial, std::adopt_lock);
+
+  size_t n_slots = n_fse < MT_SLOTS ? n_fse : MT_SLOTS;
+  std::vector<MtSlot>& slots = mt_slots();
+  std::vector<uint32_t> fse_blk;
+  fse_blk.reserve(n_fse);
+  for (size_t i = 0; i < blocks.size(); i++)
+    if (blocks[i].kind == 0) fse_blk.push_back((uint32_t)i);
+
+  std::mutex mu;
+  std::condition_variable cv_free, cv_done;
+  std::vector<uint8_t> state(n_slots, 0);  // 0 free, 1 decoded
+  size_t next_claim = 0;
+  std::atomic<bool> abort{false};
+
+  pool.launch([&]() {
+    for (;;) {
+      size_t j;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        for (;;) {
+          if (next_claim >= n_fse || abort.load(std::memory_order_relaxed))
+            return;
+          if (state[next_claim % n_slots] == 0) break;
+          cv_free.wait(lk);
+        }
+        j = next_claim++;
+      }
+      MtSlot& s = slots[j % n_slots];
+      const BD& b = blocks[fse_blk[j]];
+      int rc = 0;
+      if (b.v2) {
+        rc = load_weights_v2(src + b.wts_off, b.n_weights, s.fd.weights);
+      } else {
+        for (int i = 0; i < N_WEIGHTS; i++)
+          s.fd.weights[i] = rd16(src + b.wts_off + 2 * i);
+      }
+      if (!rc && !check_totals(s.fd.weights)) rc = -E_FSE;
+      if (!rc) {
+        s.fd.tabs.init(s.fd.weights);
+        rc = s.fd.decode_literals(src + b.lit_off, b.h.lit_pay + 8, b.h);
+      }
+      if (!rc)
+        rc = s.fd.decode_lmds_rows(s.rows.data(), src + b.lmd_off,
+                                   b.h.lmd_pay, b.h);
+      s.rc = rc;
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        state[j % n_slots] = 1;
+      }
+      cv_done.notify_all();
+      if (rc) {
+        abort.store(true, std::memory_order_relaxed);
+        cv_free.notify_all();
+        return;
+      }
+    }
+  });
+
+  Sink sink{dst, cap};
+  int err = 0;
+  size_t fse_seq = 0;
+  for (size_t bi = 0; bi < blocks.size() && !err; bi++) {
+    const BD& b = blocks[bi];
+    if (b.kind == 1) {
+      err = decode_vn(sink, src + b.pay_off, b.n_pay, b.n_raw);
+      continue;
+    }
+    if (b.kind == 2) {
+      err = sink.write(src + b.pay_off, b.n_raw);
+      continue;
+    }
+    size_t j = fse_seq++;
+    MtSlot& s = slots[j % n_slots];
+    {
+      std::unique_lock<std::mutex> lk(mu);
+      cv_done.wait(lk, [&] { return state[j % n_slots] == 1; });
+    }
+    if (s.rc) {
+      err = s.rc;
+      break;
+    }
+    const uint8_t* lits = s.fd.literals;
+    uint32_t li = 0, dist = 0;
+    for (uint32_t i = 0; i < b.h.lmd_num && !err; i++) {
+      FseDecoder::Row r = s.rows[i];
+      if (r.d) dist = r.d;
+      if (r.l) {
+        err = sink.write_slack(lits + li, r.l);  // literals has +64 pad
+        li += r.l;
+      }
+      if (!err && r.m) err = sink.write_match(r.m, dist);
+    }
+    if (err) break;
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      state[j % n_slots] = 0;
+    }
+    cv_free.notify_all();
+  }
+  abort.store(true, std::memory_order_relaxed);
+  cv_free.notify_all();
+  pool.wait();
+  if (err) return decode_container(src, n, dst, cap);
+  return (int64_t)sink.len;
 }
 
 // ========================================================= STREAMING DECODE
@@ -1578,6 +1887,12 @@ long long tl_decode_bound(const char* src, size_t n) {
 
 long long tl_decode(const char* src, size_t n, char* dst, size_t cap) {
   return decode_container((const uint8_t*)src, n, (uint8_t*)dst, cap);
+}
+
+// Parallel one-shot decode: byte-identical output, identical error codes
+// (falls back to the sequential engine on any error or small input).
+long long tl_decode_mt(const char* src, size_t n, char* dst, size_t cap) {
+  return decode_container_mt((const uint8_t*)src, n, (uint8_t*)dst, cap);
 }
 
 long long tl_encode_bound(size_t n) {

@@ -108,3 +108,52 @@ def test_synth_corpus_encode_roundtrip(synth_dir):
         assert native.decode_bytes(enc) == raw, p.name
         assert spec.decode_bytes(enc) == raw, p.name
         assert len(enc) <= p.stat().st_size + 16, p.name
+
+
+def test_parallel_decode_equivalence(snappy_dir):
+    """tl_decode_mt (worker-pool entropy decode + in-order replay) must be
+    byte-identical to the sequential engine and agree on accept/reject for
+    mutated inputs. Built large enough (>=16 FSE blocks) to actually take
+    the parallel path; small inputs route to the sequential engine inside
+    tl_decode_mt, covered by every other test via decode_bytes."""
+    from lzfse_rust_tpu.base.errors import DecodeError
+
+    raws = [native.decode_bytes(p.read_bytes())
+            for p in sorted(snappy_dir.glob("*.lzfse"))]
+    big = (b"".join(raws) * 2)[:4_000_000]
+    enc = native.encode_bytes(big)
+    assert native.decode_bytes(enc, parallel=None) == big
+    assert native.decode_bytes(enc, parallel=False) == big
+
+    rng = np.random.default_rng(11)
+    blob = bytearray(enc)
+    # bit flips across the whole container (headers, payloads, EOS tail)
+    # plus truncations: both engines must agree on accept/reject AND bytes
+    offsets = sorted(rng.integers(0, len(blob), 60).tolist()) + [
+        0, 4, 5, len(blob) - 5, len(blob) - 1]
+    for i in offsets:
+        blob[i] ^= 0xFF
+        m = bytes(blob)
+        try:
+            a = native.decode_bytes(m, parallel=False)
+        except DecodeError:
+            a = None
+        try:
+            b = native.decode_bytes(m)
+        except DecodeError:
+            b = None
+        assert (a is None) == (b is None), f"offset {i}"
+        assert a == b, f"offset {i}"
+        blob[i] ^= 0xFF
+    for cut in (17, len(enc) // 3, len(enc) - 3):
+        m = bytes(blob[:cut])
+        try:
+            a = native.decode_bytes(m, parallel=False)
+        except DecodeError:
+            a = None
+        try:
+            b = native.decode_bytes(m)
+        except DecodeError:
+            b = None
+        assert (a is None) == (b is None), f"cut {cut}"
+        assert a == b, f"cut {cut}"
