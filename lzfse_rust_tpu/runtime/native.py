@@ -41,6 +41,9 @@ def _configure(lib) -> None:
     lib.tl_decode_mt.restype = ctypes.c_longlong
     lib.tl_decode_mt.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                  ctypes.c_char_p, ctypes.c_size_t]
+    lib.tl_encode_mt.restype = ctypes.c_longlong
+    lib.tl_encode_mt.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                 ctypes.c_char_p, ctypes.c_size_t]
     lib.tl_encode_bound.restype = ctypes.c_longlong
     lib.tl_encode_bound.argtypes = [ctypes.c_size_t]
     lib.tl_encode.restype = ctypes.c_longlong
@@ -136,15 +139,19 @@ def decode_bytes(src: bytes, parallel: bool | None = None) -> bytes:
     return out[:n].tobytes()
 
 
-def encode_bytes(src: bytes) -> bytes:
+def encode_bytes(src: bytes, parallel: bool | None = None) -> bytes:
+    """One-shot container encode. `parallel=None` auto-selects the
+    emission-parallel engine (tl_encode_mt: exact sequential frontend +
+    pooled per-block tANS emission; byte-identical output — small inputs
+    route to the sequential engine inside)."""
     import ctypes
     import numpy as np
     from ..base.errors import LzfseError
     lib = _lib()
     bound = int(lib.tl_encode_bound(len(src)))
     out = np.empty(bound, dtype=np.uint8)
-    n = lib.tl_encode(src, len(src),
-                      out.ctypes.data_as(ctypes.c_char_p), bound)
+    fn = lib.tl_encode if parallel is False else lib.tl_encode_mt
+    n = fn(src, len(src), out.ctypes.data_as(ctypes.c_char_p), bound)
     if n < 0:
         raise LzfseError(f"encode failed: {n}")
     return out[:n].tobytes()

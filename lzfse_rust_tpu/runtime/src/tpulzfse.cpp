@@ -1398,9 +1398,15 @@ static inline size_t lcp_bwd(const uint8_t* s, size_t i, size_t j, size_t max) {
 
 // FSE encode backend (fse/backend.rs + buffer.rs semantics)
 struct FseBackend {
-  uint8_t lits[LITERALS_PER_BLOCK + 8];
   struct Lmd { uint16_t l, m; uint32_t d; };
-  Lmd lmds[LMDS_PER_BLOCK];
+  // vector-backed so the parallel-emission encoder can hand a closed
+  // block to a worker with two O(1) swaps instead of a ~120KB copy on
+  // the frontend's critical path; `lits`/`lmds` alias .data() and all
+  // hot-loop accesses go through them (re-aimed after a swap)
+  std::vector<uint8_t> lits_v = std::vector<uint8_t>(LITERALS_PER_BLOCK + 8);
+  std::vector<Lmd> lmds_v = std::vector<Lmd>(LMDS_PER_BLOCK);
+  uint8_t* lits = lits_v.data();
+  Lmd* lmds = lmds_v.data();
   int n_lit = 0, n_lmd = 0;
   uint32_t n_match_bytes = 0, match_distance = 0;
   std::vector<uint8_t>* out;
@@ -1466,8 +1472,16 @@ struct FseBackend {
   // encoding. Format per block: u32 n_lit, u32 n_lmd, u32 n_match_bytes,
   // lits[n_lit], then n_lmd x (u16 l, u16 m, u32 d packed).
   std::vector<uint8_t>* dump = nullptr;
+  // parallel-emission mode: hand each closed block to the caller (who
+  // queues it for pool emission via emit_into) instead of encoding inline
+  std::function<void(FseBackend&)> on_block;
 
   void emit_block() {
+    if (on_block) {
+      on_block(*this);
+      reset();
+      return;
+    }
     if (dump) {
       uint32_t hdr[3] = {(uint32_t)n_lit, (uint32_t)n_lmd, n_match_bytes};
       dump->insert(dump->end(), (uint8_t*)hdr, (uint8_t*)hdr + 12);
@@ -1479,7 +1493,15 @@ struct FseBackend {
     emit_block_encoded();
   }
 
-  void emit_block_encoded() {
+  void emit_block_encoded() { emit_into(lits, n_lit, lmds, n_lmd,
+                                        n_match_bytes, out); reset(); }
+
+  // Whole-block tANS emission as a pure function of the block contents —
+  // shared by the sequential backend and the parallel-emission encoder
+  // (blocks are independent, so emission parallelizes with no effect on
+  // bytes). `lits` must have 3 writable slack bytes (pad-to-4).
+  static void emit_into(uint8_t* lits, int n_lit, const Lmd* lmds, int n_lmd,
+                        uint32_t n_match_bytes, std::vector<uint8_t>* out) {
     // weights from unpadded content (emit_block_v2, fse/backend.rs:39-54)
     uint16_t w[N_WEIGHTS];
     memset(w, 0, sizeof w);
@@ -1558,7 +1580,6 @@ struct FseBackend {
     uint64_t c = (uint64_t)(V2_HEADER + n_weights) | ((uint64_t)(sl - L_STATES) << 32)
                  | ((uint64_t)(sm - M_STATES) << 42) | ((uint64_t)(sd - D_STATES) << 52);
     wr64(hp + 24, c);
-    reset();
   }
 };
 
@@ -1877,6 +1898,177 @@ static int64_t encode_container(const uint8_t* src, size_t n, uint8_t* dst, size
   return (int64_t)out.size();
 }
 
+// ========================================================== PARALLEL ENCODE
+// Emission-parallel one-shot encode: the exact sequential frontend
+// (selection semantics untouched — it decides identical block contents)
+// streams each closed block to the worker pool, which runs the per-block
+// tANS emission (FseBackend::emit_into) concurrently; bodies concatenate
+// in block order, so output is byte-identical to encode_container. Wall
+// time ~ max(frontend, emission / workers) instead of their sum.
+
+struct EmitJob {
+  std::vector<uint8_t> lits;            // swapped in from the backend
+  std::vector<FseBackend::Lmd> lmds;    // swapped in from the backend
+  int n_lit = 0, n_lmd = 0;
+  uint32_t n_match_bytes = 0;
+  std::vector<uint8_t> body;
+};
+
+constexpr size_t ENC_JOBS = 48;
+
+// persistent job ring (leaked): full-size swap buffers + body capacity
+// survive across calls so handoff costs two O(1) swaps, no allocation
+static std::vector<EmitJob>& enc_jobs() {
+  static std::vector<EmitJob>* j = [] {
+    auto* v = new std::vector<EmitJob>(ENC_JOBS);
+    for (auto& x : *v) {
+      x.lits.resize(LITERALS_PER_BLOCK + 8);
+      x.lmds.resize(LMDS_PER_BLOCK);
+      x.body.reserve(LITERALS_PER_BLOCK + LMDS_PER_BLOCK * 8 + 4096);
+    }
+    return v;
+  }();
+  return *j;
+}
+
+static int64_t encode_container_mt(const uint8_t* src, size_t n, uint8_t* dst,
+                                   size_t cap) {
+  WorkerPool& pool = mt_pool();
+  if (n < 0x10000 || std::thread::hardware_concurrency() < 2
+      || !pool.serial.try_lock())
+    return encode_container(src, n, dst, cap);
+  std::lock_guard<std::mutex> sl(pool.serial, std::adopt_lock);
+
+  std::vector<EmitJob>& jobs = enc_jobs();
+  std::mutex mu;
+  std::condition_variable cv_job, cv_done;
+  // ring slot states: 0 free, 1 queued (awaiting a worker), 2 emitted
+  uint8_t state[ENC_JOBS] = {0};
+  size_t n_blocks = 0;      // blocks produced so far (frontend)
+  size_t next_claim = 0;    // next block a worker may take
+  size_t next_drain = 0;    // next block to copy into dst (in order)
+  uint8_t* wp = dst;
+  size_t room = cap;
+  bool produced_all = false, overflow = false, launched = false;
+
+  // engaged lazily at the SECOND block: single-block containers (common
+  // for match-dense data — 400KB can fit one block) emit inline and pay
+  // only two O(1) swaps for the whole mt detour
+  auto worker = [&]() {
+    for (;;) {
+      size_t j;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_job.wait(lk, [&] {
+          return next_claim < n_blocks || produced_all;
+        });
+        if (next_claim >= n_blocks) return;
+        j = next_claim++;
+      }
+      EmitJob& e = jobs[j % ENC_JOBS];
+      e.body.clear();
+      FseBackend::emit_into(e.lits.data(), e.n_lit, e.lmds.data(), e.n_lmd,
+                            e.n_match_bytes, &e.body);
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        state[j % ENC_JOBS] = 2;
+      }
+      cv_done.notify_one();  // at most one waiter (the frontend thread)
+    }
+  };
+
+  // drain finished blocks in order into dst; frees ring slots
+  auto drain_ready = [&](std::unique_lock<std::mutex>& lk) {
+    while (next_drain < n_blocks && state[next_drain % ENC_JOBS] == 2) {
+      EmitJob& e = jobs[next_drain % ENC_JOBS];
+      lk.unlock();
+      if (e.body.size() > room) {
+        overflow = true;
+        lk.lock();
+        return;
+      }
+      memcpy(wp, e.body.data(), e.body.size());
+      wp += e.body.size();
+      room -= e.body.size();
+      lk.lock();
+      state[next_drain % ENC_JOBS] = 0;
+      next_drain++;
+      cv_job.notify_all();  // slot freed; frontend may be waiting
+    }
+  };
+
+  {
+    FseBackend* fb = new FseBackend();
+    std::vector<uint8_t> unused;
+    fb->out = &unused;
+    fb->on_block = [&](FseBackend& b) {
+      std::unique_lock<std::mutex> lk(mu);
+      // wait for the ring slot, draining finished blocks while here
+      for (;;) {
+        drain_ready(lk);
+        if (overflow) return;  // frontend keeps running; result discarded
+        if (state[n_blocks % ENC_JOBS] == 0) break;
+        cv_done.wait(lk);
+      }
+      EmitJob& e = jobs[n_blocks % ENC_JOBS];
+      std::swap(e.lits, b.lits_v);
+      std::swap(e.lmds, b.lmds_v);
+      b.lits = b.lits_v.data();
+      b.lmds = b.lmds_v.data();
+      e.n_lit = b.n_lit;
+      e.n_lmd = b.n_lmd;
+      e.n_match_bytes = b.n_match_bytes;
+      state[n_blocks % ENC_JOBS] = 1;
+      n_blocks++;
+      lk.unlock();
+      if (!launched && n_blocks >= 2) {
+        launched = true;
+        pool.launch(worker);
+      } else if (launched) {
+        cv_job.notify_one();
+      }
+    };
+    run_frontend<FseBackend, false>(src, n, *fb);
+    delete fb;
+  }
+  if (!launched) {
+    // 0 or 1 blocks: emit inline (the sequential engine's exact cost)
+    for (size_t j = 0; j < n_blocks && !overflow; j++) {
+      EmitJob& e = jobs[j];
+      e.body.clear();
+      FseBackend::emit_into(e.lits.data(), e.n_lit, e.lmds.data(), e.n_lmd,
+                            e.n_match_bytes, &e.body);
+      if (e.body.size() > room) {
+        overflow = true;
+        break;
+      }
+      memcpy(wp, e.body.data(), e.body.size());
+      wp += e.body.size();
+      room -= e.body.size();
+    }
+    if (overflow || room < 4) return -E_CAP;
+    wr32(wp, MAGIC_EOS);
+    return (int64_t)(wp + 4 - dst);
+  }
+  {
+    std::lock_guard<std::mutex> lk(mu);
+    produced_all = true;
+  }
+  cv_job.notify_all();
+  {
+    std::unique_lock<std::mutex> lk(mu);
+    while (!overflow && next_drain < n_blocks) {
+      drain_ready(lk);
+      if (next_drain < n_blocks && !overflow)
+        cv_done.wait(lk);
+    }
+  }
+  pool.wait();
+  if (overflow || room < 4) return -E_CAP;
+  wr32(wp, MAGIC_EOS);
+  return (int64_t)(wp + 4 - dst);
+}
+
 }  // namespace
 
 extern "C" {
@@ -1902,6 +2094,12 @@ long long tl_encode_bound(size_t n) {
 
 long long tl_encode(const char* src, size_t n, char* dst, size_t cap) {
   return encode_container((const uint8_t*)src, n, (uint8_t*)dst, cap);
+}
+
+// Emission-parallel encode: byte-identical output (sequential exact
+// frontend, pooled per-block emission); small inputs route sequentially.
+long long tl_encode_mt(const char* src, size_t n, char* dst, size_t cap) {
+  return encode_container_mt((const uint8_t*)src, n, (uint8_t*)dst, cap);
 }
 
 // Greedy/lazy selection + FSE block emission from a precomputed match

@@ -157,3 +157,22 @@ def test_parallel_decode_equivalence(snappy_dir):
             b = None
         assert (a is None) == (b is None), f"cut {cut}"
         assert a == b, f"cut {cut}"
+
+
+def test_parallel_encode_equivalence(snappy_dir):
+    """tl_encode_mt (sequential exact frontend + pooled per-block emission)
+    must be byte-identical to the sequential engine on single- and
+    multi-block inputs, and its output must decode back exactly."""
+    rng = np.random.default_rng(23)
+    raws = [native.decode_bytes(p.read_bytes())
+            for p in sorted(snappy_dir.glob("*.lzfse"))]
+    cases = [b"", b"y" * 70000,                      # 1-block boundary sizes
+             raws[0], b"".join(raws),                # single + multi block
+             (b"".join(raws) * 2)[:3_500_000],
+             bytes(rng.integers(0, 256, 200_000, dtype=np.uint8)),  # random
+             bytes(rng.integers(0, 3, 500_000, dtype=np.uint8))]    # dense
+    for data in cases:
+        a = native.encode_bytes(data, parallel=False)
+        b = native.encode_bytes(data)
+        assert a == b, len(data)
+        assert native.decode_bytes(b) == data, len(data)
