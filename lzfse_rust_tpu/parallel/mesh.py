@@ -115,6 +115,47 @@ def sharded_match_find(mesh: Mesh, windows, n_real, vn: bool = False,
     return _match_find_batch(put(windows), put(n_real), vn)
 
 
+def sharded_pallas_entropy_decode(mesh: Mesh, arrays: dict, n_lit_steps: int,
+                                  n_lmd_steps: int, axis: str = "blocks"):
+    """Multi-chip serving decode with the PRODUCTION kernels: the block
+    batch shards across the mesh and every chip runs the Pallas tANS
+    kernels (ops/pallas_decode) on its shard under shard_map — blocks are
+    independent by format design, so the kernels partition trivially
+    along the batch and no collectives run until the caller's epilogue.
+    The portable-scan variant (sharded_entropy_decode) remains the
+    GSPMD-annotated path; this is the manual-partitioning counterpart
+    for the fast kernels, validated on the virtual CPU mesh in interpret
+    mode by tests/test_parallel.py.
+
+    `arrays` carries batch-leading device inputs in the kernels' shapes:
+    u_tabs (B, 1024), v_tabs (B, 384), lit_words/lmd_words (B, W) int32,
+    lit_states/lmd_states/lit_pos/lmd_pos/lit_num/lmd_num (B, 128) int32.
+    B must divide into mesh-size shards that are multiples of 128."""
+    from jax import shard_map
+
+    from ..ops.pallas_decode import (decode_literals_pallas,
+                                     decode_lmds_pallas)
+
+    sh = shard_batch(mesh, axis)
+    put = lambda x: jax.device_put(jnp.asarray(x), sh)
+    keys = ("u_tabs", "v_tabs", "lit_words", "lmd_words", "lit_states",
+            "lit_pos", "lit_num", "lmd_states", "lmd_pos", "lmd_num")
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=tuple(P(axis) for _ in keys),
+        out_specs=tuple(P(axis) for _ in range(7)),
+        check_vma=False)
+    def run(ut, vt, lw, mw, ls, lp, ln, ms, mp, mn):
+        lits, lfs, lfp = decode_literals_pallas(ut, lw, ls, lp, ln,
+                                                n_lit_steps)
+        lm, dd, mfs, mfp = decode_lmds_pallas(vt, mw, ms, mp, mn,
+                                              n_lmd_steps)
+        return lits, lm, dd, lfs, lfp, mfs, mfp
+
+    return run(*(put(arrays[k]) for k in keys))
+
+
 def gather_compressed(mesh: Mesh, padded_blocks, lengths, axis: str = "blocks"):
     """Ordered all-gather of fixed-capacity compressed blocks + true lengths.
 

@@ -81,3 +81,75 @@ def test_sharded_pipeline_matches_oracle(mesh):
                                          jnp.asarray(lens))
     assert (np.asarray(g_blocks) == blocks).all()
     assert (np.asarray(g_lens) == lens).all()
+
+
+@pytest.mark.slow
+def test_sharded_pallas_kernels_match_unsharded(mesh, monkeypatch):
+    """The production Pallas kernels under shard_map (manual batch
+    partitioning) must produce exactly the unsharded kernels' outputs —
+    the real multi-chip serving decode path, run in interpret mode on
+    the virtual CPU mesh. Slow tier: interpret-mode tracing of the
+    sectioned kernels across a 4-device mesh costs minutes."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    import lzfse_rust_tpu.models.decoder as M
+    import lzfse_rust_tpu.ops.pallas_decode as P
+    from lzfse_rust_tpu.base import constants as C
+    from lzfse_rust_tpu.ops.table_build import build_decode_tables
+    from lzfse_rust_tpu.parallel.mesh import sharded_pallas_entropy_decode
+
+    real_call = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **k: real_call(*a, **{**k, "interpret": True}))
+
+    fse = []
+    M._parse_container(FIXTURE.read_bytes(), 0, fse)
+    d = fse[0]
+    n_dev = len(mesh.devices.flat)
+    B = n_dev * P.R_ROWS
+    W = 512
+
+    weights = np.tile(d.weights.astype(np.int32), (B, 1))
+    v_packed, _v_base, u_packed = build_decode_tables(jnp.asarray(weights))
+
+    def prep(payload, states, bits, num, offs):
+        p = np.zeros((B, W * 4), np.uint8)
+        p[:, :len(payload)] = np.frombuffer(payload, np.uint8)
+        words = p.view("<i4").copy()
+        pos = np.full(B, len(payload) * 8 - bits, np.int32)
+        st = np.zeros((B, 128), np.int32)
+        st[:, :len(states)] = [s + o for s, o in zip(states, offs)]
+        return (words, st, np.repeat(pos[:, None], 128, 1),
+                np.full((B, 128), num, np.int32))
+
+    lw, ls, lp, ln = prep(d.lit_payload, d.block.literal.state,
+                          d.block.literal.bits, d.block.literal.num,
+                          (0, 0, 0, 0))
+    mw, ms, mp, mn = prep(d.lmd_payload, d.block.lmd.state,
+                          d.block.lmd.bits, d.block.lmd.num,
+                          (0, C.L_STATES, C.L_STATES + C.M_STATES))
+    # truncated step counts: the assertion is sharded == unsharded (same
+    # kernels, same inputs), so a 1-superepoch run fully exercises the
+    # shard_map partitioning at a fraction of the interpret cost
+    n_lit = min((d.block.literal.num + 3) // 4, 64)
+    n_lmd = min(d.block.lmd.num, 64)
+
+    arrays = dict(u_tabs=u_packed, v_tabs=v_packed, lit_words=lw,
+                  lmd_words=mw, lit_states=ls, lit_pos=lp, lit_num=ln,
+                  lmd_states=ms, lmd_pos=mp, lmd_num=mn)
+    s_lits, s_lm, s_dd, s_lfs, s_lfp, s_mfs, s_mfp = \
+        sharded_pallas_entropy_decode(mesh, arrays, n_lit, n_lmd)
+
+    u_lits, u_lfs, u_lfp = P.decode_literals_pallas(
+        u_packed, jnp.asarray(lw), jnp.asarray(ls), jnp.asarray(lp),
+        jnp.asarray(ln), n_lit)
+    u_lm, u_dd, u_mfs, u_mfp = P.decode_lmds_pallas(
+        v_packed, jnp.asarray(mw), jnp.asarray(ms), jnp.asarray(mp),
+        jnp.asarray(mn), n_lmd)
+
+    for s, u in ((s_lits, u_lits), (s_lm, u_lm), (s_dd, u_dd),
+                 (s_lfs, u_lfs), (s_lfp, u_lfp), (s_mfs, u_mfs),
+                 (s_mfp, u_mfp)):
+        assert np.array_equal(np.asarray(s), np.asarray(u))
