@@ -303,6 +303,21 @@ def bench_tpu_full_decode():
     return total_raw / t_full / 1e9, extra
 
 
+def _tpu_reachable(timeout_s: int = 180) -> bool:
+    """Device discovery in a KILLABLE subprocess. On this harness a dead
+    tunnel makes jax.devices() hang forever (not raise), which would hang
+    the whole bench — probe first so the native fallback still reports."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert len(jax.devices()) > 0"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def bench_native_decode():
     """Fallback: host-native decode throughput when no accelerator exists."""
     from lzfse_rust_tpu.runtime import native
@@ -333,6 +348,8 @@ def main():
     metric = "snappy_full_decode_GBps_chip"
     extra = {}
     try:
+        if not _tpu_reachable():
+            raise RuntimeError("device discovery timed out (tunnel down)")
         value, extra = bench_tpu_full_decode()
     except Exception as e:  # no TPU / compile issue: report host native path
         sys.stderr.write(f"tpu bench failed ({type(e).__name__}: {e}); "
