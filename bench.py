@@ -348,14 +348,24 @@ def bench_native_decode():
             best.append((time.perf_counter() - t0) / reps)
         return sorted(best)[1]  # 2nd-smallest guards VM noise (CLAUDE.md)
 
+    import numpy as np
     seq = lambda s: native.decode_bytes(s, parallel=False)
     t1 = timed(lambda: [seq(s) for s in srcs])
     n_threads = min(os.cpu_count() or 1, 8)
     batch = srcs * 4  # serving batch: enough work per worker
-    # container-level parallelism only — the per-container mt engine would
-    # nest pools and oversubscribe the cores
+    # container-level parallelism only (the per-container mt engine would
+    # nest pools), decoding into preallocated caller buffers — the
+    # bytes-copy-free serving shape, so the GIL never serializes output
+    bufs = [np.empty(native.decode_bound(s), np.uint8) for s in batch]
+    nd = [native.decode_into(s, b, parallel=False)
+          for s, b in zip(batch, bufs)]  # warm + verify
+    for (s, b), n, want in zip(zip(batch, bufs), nd,
+                               hashes * 4):
+        assert hashlib.sha256(b[:n].tobytes()).digest() == want
     with cf.ThreadPoolExecutor(n_threads) as ex:
-        tp = timed(lambda: list(ex.map(seq, batch)), reps=1)
+        tp = timed(lambda: list(ex.map(
+            lambda sb: native.decode_into(sb[0], sb[1], parallel=False),
+            zip(batch, bufs))), reps=1)
     par = total * 4 / tp
     extra = {
         "single_thread_GBps": round(total / t1 / 1e9, 4),

@@ -139,6 +139,33 @@ def decode_bytes(src: bytes, parallel: bool | None = None) -> bytes:
     return out[:n].tobytes()
 
 
+def decode_bound(src: bytes) -> int:
+    """Decoded-size bound from the container probe (tl_decode_bound)."""
+    from ..base.errors import DecodeError
+    lib = _lib()
+    bound = lib.tl_decode_bound(src, len(src))
+    if bound < 0:
+        raise DecodeError(f"probe failed: {bound}")
+    return int(bound)
+
+
+def decode_into(src, out, parallel: bool | None = None) -> int:
+    """Zero-copy one-shot decode into a caller-owned uint8 array; returns
+    the decoded length. The serving analog of the reference's
+    decode_bytes-into-Vec without the final Python bytes copy — under a
+    thread pool the GIL-held work shrinks to the ctypes call itself, so
+    container-parallel batch decode scales with cores (the bytes-returning
+    wrapper's tobytes() copy serializes ~20%/container on this box)."""
+    import ctypes
+    from ..base.errors import DecodeError
+    lib = _lib()
+    fn = lib.tl_decode if parallel is False else lib.tl_decode_mt
+    n = fn(src, len(src), out.ctypes.data_as(ctypes.c_char_p), out.size)
+    if n < 0:
+        raise DecodeError(f"decode failed: {n}")
+    return int(n)
+
+
 def encode_bytes(src: bytes, parallel: bool | None = None) -> bytes:
     """One-shot container encode. `parallel=None` auto-selects the
     emission-parallel engine (tl_encode_mt: exact sequential frontend +

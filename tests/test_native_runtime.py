@@ -176,3 +176,26 @@ def test_parallel_encode_equivalence(snappy_dir):
         b = native.encode_bytes(data)
         assert a == b, len(data)
         assert native.decode_bytes(b) == data, len(data)
+
+
+def test_decode_into_zero_copy(snappy_dir):
+    """decode_into (caller-owned buffer, no bytes copy — the pooled
+    serving shape) must match decode_bytes on every corpus file and
+    reject bad input with the same error."""
+    from lzfse_rust_tpu.base.errors import DecodeError
+
+    for p in sorted(snappy_dir.glob("*.lzfse")):
+        src = p.read_bytes()
+        want = native.decode_bytes(src)
+        out = np.empty(native.decode_bound(src), np.uint8)
+        n = native.decode_into(src, out, parallel=False)
+        assert out[:n].tobytes() == want
+        n2 = native.decode_into(src, out)  # mt engine path
+        assert n2 == n and out[:n].tobytes() == want
+    with pytest.raises(DecodeError):
+        native.decode_bound(b"\x00" * 16)
+    src = sorted(snappy_dir.glob("*.lzfse"))[0].read_bytes()
+    bad = src[:-2]  # truncated EOS
+    out = np.empty(native.decode_bound(src), np.uint8)
+    with pytest.raises(DecodeError):
+        native.decode_into(bad, out, parallel=False)
