@@ -110,6 +110,27 @@ def main():
             f"| {tag} | {n} | {apple} | {ours} | {d:.0f} | "
             f"{rdec if rdec else '-'} | {e:.0f} | {renc if renc else '-'} | "
             f"{rd:.0f} | {re_:.0f} |")
+    # host serving aggregate: the snappy corpus decoded container-parallel
+    # across cores into caller buffers (native.decode_into under a thread
+    # pool — the zero-copy serving shape bench.py's fallback measures)
+    import concurrent.futures as cf
+
+    import numpy as np
+    snappy = [p.read_bytes()
+              for p in sorted((DATA / "snappy").glob("*.lzfse"))] * 4
+    bufs = [np.empty(native.decode_bound(s), np.uint8) for s in snappy]
+    total = sum(native.decode_into(s, b, parallel=False)
+                for s, b in zip(snappy, bufs))
+    n_threads = min(os.cpu_count() or 1, 8)
+    with cf.ThreadPoolExecutor(n_threads) as ex:
+        dt = _rate(lambda: list(ex.map(
+            lambda sb: native.decode_into(sb[0], sb[1], parallel=False),
+            zip(snappy, bufs))))
+    lines += [
+        "",
+        f"Host serving aggregate (snappy, container-parallel decode_into, "
+        f"{n_threads} threads): **{total / dt / 1e9:.2f} GB/s**",
+    ]
     out = "\n".join(lines) + "\n"
     (pathlib.Path(__file__).resolve().parents[1] / "PERF.md").write_text(out)
     print(out)
