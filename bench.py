@@ -39,9 +39,7 @@ import sys
 import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    str(pathlib.Path.home() / ".cache" / "jax_lzfse"))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 SNAPPY = pathlib.Path("/root/reference/data/snappy")
 # Corpus replicas per decode_many call (serving-style batch). Bigger
