@@ -224,10 +224,22 @@ class TpuEncoder:
             fwd_len=fwd_k[order], back_max=back_k[order],
         )
 
+    @staticmethod
+    def _encode_small(src: bytes) -> bytes:
+        """LZVN/raw host path for <= VN_CUTOFF inputs (blocks <= 4 KiB by
+        design): native engine when built (byte-identical to the spec,
+        enforced by tests; ~160x faster), spec otherwise."""
+        try:
+            from ..runtime import native
+            if native.available():
+                return native.encode_bytes(src)
+        except Exception:
+            pass
+        return FE.encode_bytes(src)
+
     def encode_bytes(self, src: bytes) -> bytes:
         if len(src) <= C.VN_CUTOFF:
-            # small inputs: LZVN/raw host paths (blocks <= 4 KiB by design)
-            return FE.encode_bytes(src)
+            return self._encode_small(src)
         stream = self._device_matches(src, vn=False)
         if self.device_emission:
             try:
@@ -260,7 +272,7 @@ class TpuEncoder:
         big: list[int] = []
         for i, s in enumerate(sources):
             if len(s) <= C.VN_CUTOFF:
-                results[i] = FE.encode_bytes(s)
+                results[i] = self._encode_small(s)
             else:
                 big.append(i)
         if not big:
