@@ -76,10 +76,14 @@ def decode_many(sources, max_workers: int | None = None) -> list[bytes]:
     """
     from concurrent.futures import ThreadPoolExecutor
     sources = list(sources)
-    if len(sources) <= 1 or _native() is None:
+    n = _native()
+    if len(sources) <= 1 or n is None:
         return [decode_bytes(s) for s in sources]
+    # container-level parallelism only: the per-container mt engine would
+    # nest its own pool under this one and oversubscribe the cores
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        return list(pool.map(decode_bytes, sources))
+        return list(pool.map(lambda s: n.decode_bytes(s, parallel=False),
+                             sources))
 
 
 def encode_many(sources, max_workers: int | None = None) -> list[bytes]:
@@ -89,10 +93,19 @@ def encode_many(sources, max_workers: int | None = None) -> list[bytes]:
     """
     from concurrent.futures import ThreadPoolExecutor
     sources = list(sources)
-    if len(sources) <= 1 or _native() is None:
+    n = _native()
+    if len(sources) <= 1 or n is None:
         return [encode_bytes(s) for s in sources]
+
+    def one(s):
+        if len(s) > 0x7FFFF000:  # BLOCK_GUIDE window route, as encode_bytes
+            return encode_bytes(s)
+        # sequential engine per container: the emission-parallel engine
+        # would nest its own pool under this one
+        return n.encode_bytes(s, parallel=False)
+
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        return list(pool.map(encode_bytes, sources))
+        return list(pool.map(one, sources))
 
 
 def probe(src: bytes) -> tuple[int, int]:
