@@ -8,6 +8,10 @@ multi-chip path via __graft_entry__.dryrun_multichip).
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Persistent jit cache: without it a cold /tmp (fresh session) recompiles
+# every XLA graph and interpret-mode kernel harness, blowing the suite from
+# ~4 min to >30 min. Same cache the bench/tools use.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
