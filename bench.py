@@ -27,8 +27,12 @@ aggregate = 0.46 GB/s on the i5-2500K).
 When the pipelined serving path (decode_many_pipelined, three overlapped
 planes) measurably beats the sequential wall clock under identical tunnel
 conditions, the headline becomes the sum-model time minus the MEASURED
-wall-clock saving — a conservative lower bound on the pipeline's real
-throughput (the plane-max model would claim more).
+wall-clock saving. The subtracted saving is capped at what the sum model
+can absorb (t_full - slowest plane): per-dispatch tunnel RTT is ~30-50 ms
+and the walls are seconds, so an apparent saving larger than the cap is
+wall noise, not overlap — steady-state pipelined throughput can never beat
+the slowest plane. Both the raw walls and the cap are reported in `extra`
+so the claim is auditable.
 """
 
 import hashlib
@@ -46,8 +50,10 @@ SNAPPY = pathlib.Path("/root/reference/data/snappy")
 # batches pack the size-sorted 128-block kernel groups tighter (at 8 reps
 # the literal kernel pays 1.97x the needed steps from pad + within-group
 # spread; at 24 reps 1.25x) and amortize fixed dispatch — the steady-state
-# serving regime the metric models.
-REPS = int(os.environ.get("LZT_BENCH_REPS", "8"))
+# serving regime the metric models. Hardware sweep (r2): full-decode sum
+# model 0.44 / 0.46 / 0.48 GB/s at 8/16/24 reps, matching the analytic
+# utilization prediction — 24 is the default serving batch.
+REPS = int(os.environ.get("LZT_BENCH_REPS", "24"))
 
 # lzfse_ref decode MB/s per corpus file (BASELINE.md / README.md:155-165)
 REF_DECODE_MBPS = {
@@ -289,10 +295,19 @@ def bench_tpu_full_decode():
             assert st.get("fallbacks", 0) == 0
             w_pipe.append(time.perf_counter() - t0)
         ws, wp = sorted(w_seq)[1], sorted(w_pipe)[1]
-        saving = max(ws - wp, 0.0)
-        t_pipe = max(t_full - saving, 1e-9)
+        saving_raw = max(ws - wp, 0.0)
+        # Physical cap: the pipeline cannot beat its slowest plane, so the
+        # sum model can only absorb t_full - plane_max of saving. Walls on
+        # this harness are RTT-dominated (seconds for a ~100 ms pipeline);
+        # any apparent saving beyond the cap is dispatch noise.
+        plane_max = max(stats["parse"] + stats["prep"], t_dev,
+                        stats["flatten"] + stats["rebuild"])
+        saving = min(saving_raw, max(t_full - plane_max, 0.0))
+        t_pipe = t_full - saving
         extra["pipelined_wall_s"] = round(wp, 4)
         extra["sequential_wall_s"] = round(ws, 4)
+        extra["wall_saving_s"] = round(saving_raw, 4)
+        extra["saving_cap_s"] = round(max(t_full - plane_max, 0.0), 4)
         extra["pipelined_GBps"] = round(total_raw / t_pipe / 1e9, 4)
         if saving > 0:
             return total_raw / t_pipe / 1e9, extra

@@ -43,9 +43,21 @@ def _windows_fwd(src_pad: jnp.ndarray) -> jnp.ndarray:
 
     The optimization barrier forces materialization: otherwise XLA fuses the
     roll-stack into every row gather, scalarizing them (~1000x slower).
+
+    Built as a flat concat + reshape + transpose. jnp.stack (any axis)
+    expands each rolled column with a singleton dim, and under vmap XLA's
+    layout assignment keeps that size-1 dim minormost in the (8,128) tile,
+    padding it 1->128: 64 columns x 128x pad = 20 GB of HLO temps at a
+    20x128KiB batch (observed compile OOM, r2). Concatenating the (N,)
+    columns along the existing axis never creates a singleton dim, so the
+    temps stay at true size; one transpose then lays out the (N, WINDOW)
+    row-gather operand.
     """
+    N = src_pad.shape[-1]
     cols = [jnp.roll(src_pad, -k) for k in range(WINDOW)]
-    return jax.lax.optimization_barrier(jnp.stack(cols, axis=1))
+    wf_t = jnp.concatenate(cols, axis=-1).reshape(
+        src_pad.shape[:-1] + (WINDOW, N))
+    return jax.lax.optimization_barrier(jnp.swapaxes(wf_t, -1, -2))
 
 
 def _first_mismatch(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -24,7 +24,8 @@ run() { # name timeout_s cmd...
   fi
 }
 
-want() { [ $# -eq 0 ] || [[ " $* " == *" $1 "* ]]; }
+# membership among args 2..n ($* would include $1 itself and always match)
+want() { [ $# -le 1 ] || [[ " ${*:2} " == *" $1 "* ]]; }
 ARGS=("$@")
 
 # 1. correctness gates first: full-pipeline decode + encode byte identity
