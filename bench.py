@@ -24,15 +24,12 @@ vs_baseline compares against the reference C library's aggregate full-decode
 throughput on the same corpus (BASELINE.md lzfse_ref column, size-weighted
 aggregate = 0.46 GB/s on the i5-2500K).
 
-When the pipelined serving path (decode_many_pipelined, three overlapped
-planes) measurably beats the sequential wall clock under identical tunnel
-conditions, the headline becomes the sum-model time minus the MEASURED
-wall-clock saving. The subtracted saving is capped at what the sum model
-can absorb (t_full - slowest plane): per-dispatch tunnel RTT is ~30-50 ms
-and the walls are seconds, so an apparent saving larger than the cap is
-wall noise, not overlap — steady-state pipelined throughput can never beat
-the slowest plane. Both the raw walls and the cap are reported in `extra`
-so the claim is auditable.
+The metric is the stage-sum model: no host/device overlap is assumed. A
+three-plane pipelined driver existed in round 2 but measured ZERO wall
+saving on this harness (walls are tunnel-RTT dominated — seconds for a
+~100 ms pipeline — so a sub-100 ms overlap gain is below the noise floor
+and cannot be demonstrated honestly); it was removed rather than carried
+unproven.
 """
 
 import hashlib
@@ -270,49 +267,6 @@ def bench_tpu_full_decode():
         "raw_bytes": total_raw,
     }
 
-    # Pipelined serving path (decode_many_pipelined): the three planes —
-    # host front (parse+prep), device kernels, host back (flatten+rebuild)
-    # — overlap across sub-batches, so steady-state throughput is bounded
-    # by the slowest plane, not the stage sum. Evidence that the overlap is
-    # real comes from wall clock measured under identical tunnel conditions:
-    # both walls carry the same per-dispatch RTT inflation, so the
-    # sequential-minus-pipelined difference isolates the overlap gain. The
-    # reported pipelined number is conservative: the sum-model total minus
-    # the MEASURED wall-clock saving (never the pure plane-max model).
-    try:
-        outs_p = dec.decode_many_pipelined(batch, n_sub=4)  # warm
-        for i, out in enumerate(outs_p):
-            want = hashes[i % len(srcs)]
-            assert hashlib.sha256(out).digest() == want
-        w_seq, w_pipe = [], []
-        for _ in range(7):
-            t0 = time.perf_counter()
-            dec.decode_many(batch)
-            w_seq.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            st: dict = {}
-            dec.decode_many_pipelined(batch, stats=st, n_sub=4)
-            assert st.get("fallbacks", 0) == 0
-            w_pipe.append(time.perf_counter() - t0)
-        ws, wp = sorted(w_seq)[1], sorted(w_pipe)[1]
-        saving_raw = max(ws - wp, 0.0)
-        # Physical cap: the pipeline cannot beat its slowest plane, so the
-        # sum model can only absorb t_full - plane_max of saving. Walls on
-        # this harness are RTT-dominated (seconds for a ~100 ms pipeline);
-        # any apparent saving beyond the cap is dispatch noise.
-        plane_max = max(stats["parse"] + stats["prep"], t_dev,
-                        stats["flatten"] + stats["rebuild"])
-        saving = min(saving_raw, max(t_full - plane_max, 0.0))
-        t_pipe = t_full - saving
-        extra["pipelined_wall_s"] = round(wp, 4)
-        extra["sequential_wall_s"] = round(ws, 4)
-        extra["wall_saving_s"] = round(saving_raw, 4)
-        extra["saving_cap_s"] = round(max(t_full - plane_max, 0.0), 4)
-        extra["pipelined_GBps"] = round(total_raw / t_pipe / 1e9, 4)
-        if saving > 0:
-            return total_raw / t_pipe / 1e9, extra
-    except Exception as e:
-        extra["pipelined_error"] = f"{type(e).__name__}: {e}"
     return total_raw / t_full / 1e9, extra
 
 

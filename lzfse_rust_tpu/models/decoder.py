@@ -187,12 +187,11 @@ _PREP_CACHE: dict = {}
 _ALIGN = 512  # payload alignment in the flat upload cat (128 int32 words)
 
 
-def _prep_small(B: int, slot: int = 0):
+def _prep_small(B: int):
     """Reusable host staging for the native-assisted pallas prep: per-block
     states/positions plus the packed decode tables (payload rows travel as
-    a compact aligned cat + device row-gather, not as padded host rows).
-    `slot` scopes the buffers so pipelined sub-batches don't alias."""
-    key = ("small", B, slot)
+    a compact aligned cat + device row-gather, not as padded host rows)."""
+    key = ("small", B)
     bufs = _PREP_CACHE.get(key)
     if bufs is None:
         bufs = (np.zeros((B, 128), np.int32),   # lit states (lanes >=4 stay 0)
@@ -213,10 +212,10 @@ def _w_bucket(n_bytes: int) -> int:
     return max(_round_up(_round_up(n_bytes // 4 + 4, 128), 1024), 1024)
 
 
-def _small_staging(B: int, slot: int = 0) -> np.ndarray:
+def _small_staging(B: int) -> np.ndarray:
     """Cached (B, 16) packed small-parameter staging (see
     _expand_smalls_fn for the column layout)."""
-    key = ("small16", B, slot)
+    key = ("small16", B)
     buf = _PREP_CACHE.get(key)
     if buf is None:
         buf = np.zeros((B, 16), np.int32)
@@ -224,11 +223,11 @@ def _small_staging(B: int, slot: int = 0) -> np.ndarray:
     return buf
 
 
-def _cat_staging(n_bytes: int, slot: int = 0) -> np.ndarray:
+def _cat_staging(n_bytes: int) -> np.ndarray:
     """Cached flat buffer for the aligned payload cat, bucketed to 1MiB so
     upload shapes stay cacheable."""
     cap = _round_up(max(n_bytes, 1 << 20), 1 << 20)
-    key = ("cat", cap, slot)
+    key = ("cat", cap)
     buf = _PREP_CACHE.get(key)
     if buf is None:
         buf = np.zeros(cap, np.uint8)
@@ -409,17 +408,15 @@ class TpuDecoder:
         remains the portable path and the exact-error oracle: containers
         the walk rejects are re-parsed in Python (raising the precise
         exception) or decoded via the spec layer."""
-        results, fr = self._walk_front(sources, stats, native_mod, slot=0)
-        return self._walk_back(sources, results, fr, stats, native_mod,
-                               slot=0)
+        results, fr = self._walk_front(sources, stats, native_mod)
+        return self._walk_back(sources, results, fr, stats, native_mod)
 
     def _walk_front(self, sources: list[bytes], stats: dict | None,
-                    native_mod, slot: int = 0):
+                    native_mod):
         """Host front half of the walk path: container walk, table build,
         payload gather, device upload and kernel DISPATCH (no download —
-        the returned device arrays are still in flight, which is what lets
-        the pipelined driver overlap this with another sub-batch's back
-        half). Returns (results, frame); results holds spec-layer decodes
+        the returned device arrays stay in flight until _walk_back syncs).
+        Returns (results, frame); results holds spec-layer decodes
         for containers the walk rejected."""
         import time as _time
         import jax.numpy as jnp
@@ -466,7 +463,7 @@ class TpuDecoder:
             sl_n = inv_l[:nb]
             sm_n = inv_m[:nb]
             (_ls_unused, _lm_unused, _lp_unused, _mp_unused, v_tabs,
-             u_tabs, _s1_unused, _s2_unused) = _prep_small(B, slot)
+             u_tabs, _s1_unused, _s2_unused) = _prep_small(B)
             # table build (native, GIL-free) overlaps the payload gather
             import threading
             th = threading.Thread(target=native_mod.build_tables_batch,
@@ -484,7 +481,7 @@ class TpuDecoder:
                                  (lens_m + _ALIGN - 1) // _ALIGN))
             cum = np.cumsum(ch)
             starts_all = np.concatenate(([0], cum[:-1])).astype(np.int32)
-            stage = _cat_staging(int(cum[-1]) * _ALIGN, slot)
+            stage = _cat_staging(int(cum[-1]) * _ALIGN)
             native_mod.gather_payloads(
                 sources, desc, starts_all[:nb].astype(np.int64) * _ALIGN,
                 starts_all[nb:].astype(np.int64) * _ALIGN, stage)
@@ -504,7 +501,7 @@ class TpuDecoder:
                 for i in range(2)]
             for t in ths_up:
                 t.start()
-            small = _small_staging(B, slot)
+            small = _small_staging(B)
             small[:] = 0
             small[sl_n, 0:4] = desc[:, 9:13]
             lmd_st = desc[:, 13:16].copy()
@@ -560,8 +557,7 @@ class TpuDecoder:
         return results, (dev, parts, cpo, cont_nraw, cont_ok, nb)
 
     def _walk_back(self, sources: list[bytes], results: list,
-                   frame, stats: dict | None, native_mod,
-                   slot: int = 0) -> list[bytes]:
+                   frame, stats: dict | None, native_mod) -> list[bytes]:
         """Back half of the walk path: device download + stream validity,
         part flattening, and the threaded native LZ rebuild."""
         import time as _time
@@ -638,7 +634,7 @@ class TpuDecoder:
             cont_off_np[1:] = np.cumsum([len(p) for p in keep_parts])
         out_offs_np = np.asarray(out_offs, np.int64)
         total_out = max(int(out_offs_np[-1]), 1)
-        out_key = ("out", _round_up(total_out, 8 << 20), slot)
+        out_key = ("out", _round_up(total_out, 8 << 20))
         out_buf = _PREP_CACHE.get(out_key)
         if out_buf is None:
             out_buf = np.empty(out_key[1], np.uint8)
@@ -658,87 +654,6 @@ class TpuDecoder:
                 results[ci] = spec_container.decode_bytes(sources[ci])
         _mark("rebuild")
         return results
-
-    def decode_many_pipelined(self, sources: list[bytes],
-                              stats: dict | None = None,
-                              n_sub: int = 4) -> list[bytes]:
-        """Pipelined serving decode: split the batch into `n_sub`
-        contiguous sub-batches and overlap the three pipeline planes —
-        host front half (walk + table build + payload gather + upload +
-        kernel dispatch, on a producer thread), device kernels (async
-        between dispatch and the consumer's download), and host back half
-        (download + validity + flatten + threaded native rebuild, on the
-        calling thread). Every native call releases the GIL, so the two
-        host halves genuinely overlap; triple-buffered staging slots keep
-        the in-flight sub-batches from aliasing — the producer runs at
-        most two sub-batches ahead (queue slot + one in flight), and
-        front(k+3) can only start once back(k+1) finished, whose downloads
-        data-depend on k+1's kernels and therefore on every earlier
-        upload having been consumed, so slot k%3 is free for rewrite even
-        if jnp.asarray transfers are lazily sourced from host staging.
-        Steady-state throughput
-        is bounded by the slowest plane instead of the stage sum (the
-        reference has no counterpart — it is one sequential state machine,
-        src/decode/decoder.rs:72-99).
-
-        Per-stage `stats` times sum across sub-batches and ACROSS planes;
-        with overlap the wall clock is less than the sum — callers wanting
-        wall time should measure around this call."""
-        native_mod = _native_mod()
-        if not (self.use_pallas and self.use_native_rebuild
-                and native_mod is not None) or len(sources) < 2:
-            return self.decode_many(sources, stats=stats)
-        import queue
-        import threading
-
-        n = len(sources)
-        n_sub = max(1, min(n_sub, n))
-        bounds = [n * k // n_sub for k in range(n_sub + 1)]
-        q: queue.Queue = queue.Queue(maxsize=1)
-        fail: list = []
-
-        def producer():
-            try:
-                for k in range(n_sub):
-                    sub = sources[bounds[k]:bounds[k + 1]]
-                    sub_stats: dict = {}
-                    res, fr = self._walk_front(sub, sub_stats, native_mod,
-                                               slot=k % 3)
-                    q.put((k, sub, res, fr, sub_stats))
-            except BaseException as e:  # surfaced by the consumer
-                fail.append(e)
-            q.put(None)
-
-        th = threading.Thread(target=producer, daemon=True)
-        th.start()
-        out: list = [None] * n
-        err = None
-        try:
-            while True:
-                item = q.get()
-                if item is None:
-                    break
-                k, sub, res, fr, sub_stats = item
-                if stats is not None:
-                    for key, v in sub_stats.items():
-                        stats[key] = stats.get(key, 0.0) + v
-                res = self._walk_back(sub, res, fr, stats, native_mod,
-                                      slot=k % 3)
-                out[bounds[k]:bounds[k + 1]] = res
-        except BaseException as e:
-            err = e
-        # always drain: a blocked q.put would otherwise deadlock the join
-        while th.is_alive():
-            try:
-                q.get(timeout=0.05)
-            except queue.Empty:
-                pass
-        th.join()
-        if err is not None:
-            raise err
-        if fail:
-            raise fail[0]
-        return out
 
     def decode_many(self, sources: list[bytes],
                     stats: dict | None = None) -> list[bytes]:

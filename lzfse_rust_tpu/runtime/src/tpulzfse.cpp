@@ -2240,6 +2240,72 @@ long long tl_rebuild(const int* rows, size_t n_rows, const char* lits_c,
 // rebuild in parallel (work-stealing). status[ci] = bytes written or
 // -err; callers compare against the expected n_raw and fall back to the
 // spec layer on mismatch. Reference hot loop: fse_core.rs:80-141.
+// Shared row-replay loop for the rebuild kinds. The fast path handles the
+// dominant small-row shape (l <= 16, m <= 16, non-pattern copy, ample
+// space) with two unconditional 16B moves and ONE rarely-taken branch;
+// everything else — long rows, short-distance patterns, buffer tails,
+// validity violations — falls through to the exact original per-row code
+// so error semantics are unchanged. PACKED selects the device-row layout
+// (lm = l|m<<16 + raw d with repeat-zero carry) vs host (l,m,d) triplets.
+static inline int replay_rows(Sink& sink, const int* a, const int* b,
+                              const uint8_t* lits, size_t n_rows,
+                              size_t lit_cap, size_t lit_avail,
+                              const bool PACKED) {
+  size_t li = 0;
+  uint32_t dist = 0;
+  size_t len = sink.len;
+  const size_t cap = sink.cap;
+  uint8_t* dst = sink.dst;
+  for (size_t i = 0; i < n_rows; i++) {
+    uint32_t l, m, d;
+    if (PACKED) {
+      uint32_t lmv = (uint32_t)a[i];
+      l = lmv & 0xFFFF;
+      m = lmv >> 16;
+      d = (uint32_t)b[i];
+      if (d) dist = d;
+    } else {
+      l = (uint32_t)a[i * 3];
+      m = (uint32_t)a[i * 3 + 1];
+      dist = d = (uint32_t)a[i * 3 + 2];
+    }
+    if (__builtin_expect((l | m) > 16 || (dist < 16 && m > dist)
+                             || len + 48 > cap || li + 16 > lit_avail
+                             || li + l > lit_cap,
+                         0)) {
+      // exact slow path (bounds, pattern stores, long rows)
+      sink.len = len;
+      if (l) {
+        if (li + l > lit_cap) return -E_FSE;
+        int rc = li + l + 16 <= lit_avail ? sink.write_slack(lits + li, l)
+                                          : sink.write(lits + li, l);
+        if (rc) return rc;
+        li += l;
+      }
+      if (m) {
+        int rc = sink.write_match(m, dist);
+        if (rc) return rc;
+      }
+      len = sink.len;
+      continue;
+    }
+    uint8_t* o = dst + len;
+    cpy16(o, lits + li);  // l <= 16; slack overwritten by later rows
+    li += l;
+    o += l;
+    len += l;
+    if (m) {
+      if (dist == 0 || dist > len) { sink.len = len; return -E_BADD; }
+      // dist >= 16 (overlap-safe 16B stride for m <= 16) or m <= dist
+      // (non-overlapping; trailing slack reads stay inside dst)
+      cpy16(o, o - dist);
+      len += m;
+    }
+  }
+  sink.len = len;
+  return 0;
+}
+
 long long tl_flatten_rebuild(
     const int* lm_rows, const int* d_rows, const unsigned char* lit_rows,
     size_t lmd_stride, size_t lit_stride, const int* parts,
@@ -2271,61 +2337,21 @@ long long tl_flatten_rebuild(
         // the literal array — the caller passes the kernels' SORTED
         // outputs directly (no device-side unsort copies) and remaps the
         // part indices through the two sort permutations host-side.
-        const int* lm = lm_rows + (size_t)P[1] * lmd_stride;
-        const int* dr = d_rows + (size_t)P[1] * lmd_stride;
-        const uint8_t* lits = lit_rows + (size_t)P[4] * lit_stride;
-        size_t n_rows = (size_t)P[2];
-        size_t lit_cap = (size_t)P[3];
-        size_t lit_avail = lit_rows_total - (size_t)P[4] * lit_stride;
-        size_t li = 0;
-        uint32_t dist = 0;
-        for (size_t i = 0; i < n_rows; i++) {
-          uint32_t lmv = (uint32_t)lm[i];
-          uint32_t l = lmv & 0xFFFF;
-          uint32_t m = lmv >> 16;
-          uint32_t d = (uint32_t)dr[i];
-          if (d) dist = d;
-          if (l) {
-            if (li + l > lit_cap) { status[ci] = -E_FSE; return; }
-            int rc = li + l + 16 <= lit_avail
-                         ? sink.write_slack(lits + li, l)
-                         : sink.write(lits + li, l);
-            if (rc) { status[ci] = rc; return; }
-            li += l;
-          }
-          if (m) {
-            int rc = sink.write_match(m, dist);
-            if (rc) { status[ci] = rc; return; }
-          }
-        }
+        int rc = replay_rows(
+            sink, lm_rows + (size_t)P[1] * lmd_stride,
+            d_rows + (size_t)P[1] * lmd_stride,
+            lit_rows + (size_t)P[4] * lit_stride, (size_t)P[2],
+            (size_t)P[3], lit_rows_total - (size_t)P[4] * lit_stride,
+            true);
+        if (rc) { status[ci] = rc; return; }
         continue;
       }
       // kind 1: host-parsed (l, m, d) triplet rows
-      const int* rows = host_rows + (size_t)P[1] * 3;
-      const uint8_t* lits = host_lits + (size_t)P[3];
-      size_t n_rows = (size_t)P[2];
-      size_t lit_cap = (size_t)P[4];
-      size_t lit_avail = host_lits_total - (size_t)P[3];
-      size_t li = 0;
-      for (size_t i = 0; i < n_rows; i++) {
-        uint32_t l = (uint32_t)rows[i * 3];
-        uint32_t m = (uint32_t)rows[i * 3 + 1];
-        uint32_t d = (uint32_t)rows[i * 3 + 2];
-        if (l) {
-          if (li + l > lit_cap) { status[ci] = -E_FSE; return; }
-          // wide copies while 16B past the literal run stay readable in
-          // the pool allocation (tail rows fall back to exact memcpy)
-          int rc = li + l + 16 <= lit_avail
-                       ? sink.write_slack(lits + li, l)
-                       : sink.write(lits + li, l);
-          if (rc) { status[ci] = rc; return; }
-          li += l;
-        }
-        if (m) {
-          int rc = sink.write_match(m, d);
-          if (rc) { status[ci] = rc; return; }
-        }
-      }
+      int rc = replay_rows(
+          sink, host_rows + (size_t)P[1] * 3, nullptr,
+          host_lits + (size_t)P[3], (size_t)P[2], (size_t)P[4],
+          host_lits_total - (size_t)P[3], false);
+      if (rc) { status[ci] = rc; return; }
     }
     status[ci] = (long long)sink.len;
   };

@@ -51,32 +51,3 @@ def test_walk_pipeline_interpret(interp):
     # malformed containers raise exactly like the Python parse
     with pytest.raises(Exception):
         dec.decode_many([fse_src, bad_src])
-
-
-def test_walk_pipelined_interpret(interp):
-    """decode_many_pipelined: same results, overlapped sub-batches."""
-    import lzfse_rust_tpu.models.decoder as M
-    from lzfse_rust_tpu import api
-    from lzfse_rust_tpu.spec import container as spec_container
-
-    native = M._native_mod()
-    if native is None:
-        pytest.skip("native runtime not built")
-
-    fse_src = FIXTURE.read_bytes()
-    vn_src = api.encode_bytes(b"hello world, hello world, hello")
-    raw_src = api.encode_bytes(bytes(np.random.default_rng(3).integers(
-        0, 256, 600, dtype=np.uint8)))
-    dec = M.TpuDecoder(use_pallas=True, use_native_rebuild=True)
-    sources = [fse_src, vn_src, raw_src, b"bvx$", fse_src, vn_src,
-               fse_src, raw_src, fse_src]
-    stats: dict = {}
-    outs = dec.decode_many_pipelined(sources, stats=stats, n_sub=3)
-    assert stats.get("fallbacks", 0) == 0
-    for src, out in zip(sources, outs):
-        assert bytes(out) == spec_container.decode_bytes(src)
-
-    # errors raised on the producer thread surface to the caller
-    with pytest.raises(Exception):
-        dec.decode_many_pipelined(
-            [fse_src, b"bvx2" + b"\x00" * 40, fse_src, fse_src], n_sub=2)

@@ -35,12 +35,10 @@ want enc_id "${ARGS[@]}"   && { run enc_id   2400 python tools/test_tpu_encoder_
 want entropy "${ARGS[@]}"  && run entropy  2400 python tools/bench_entropy_decode.py
 want ent_half "${ARGS[@]}" && run ent_half 2400 env LZT_LIT_HALF=1 python tools/bench_entropy_decode.py
 # 3. driver metric + REPS sweep (group utilization: 8 vs 16 vs 24 replicas)
-want bench8 "${ARGS[@]}"   && run bench8   2400 python bench.py
-want bench16 "${ARGS[@]}"  && run bench16  2400 env LZT_BENCH_REPS=16 python bench.py
-want bench24 "${ARGS[@]}"  && run bench24  2400 env LZT_BENCH_REPS=24 python bench.py
-# 4. pipelined-vs-sequential decode accounting
-want pipeline "${ARGS[@]}" && run pipeline 2400 python tools/bench_pipeline.py
-# 5. encode e2e serving throughput
+want bench8 "${ARGS[@]}"   && run bench8   2400 env LZT_BENCH_REPS=8 python bench.py
+want bench24 "${ARGS[@]}"  && run bench24  2400 python bench.py
+want bench48 "${ARGS[@]}"  && run bench48  2400 env LZT_BENCH_REPS=48 python bench.py
+# 4. encode e2e serving throughput
 want enc_e2e "${ARGS[@]}"  && run enc_e2e  3600 python tools/bench_encode_e2e.py
 
 echo "QUEUE DONE at $(date +%H:%M:%S)"
