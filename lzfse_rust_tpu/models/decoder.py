@@ -186,6 +186,27 @@ def _substitute_jit(lmds):
 _PREP_CACHE: dict = {}
 _ALIGN = 512  # payload alignment in the flat upload cat (128 int32 words)
 
+# Uninitialized-bytes allocation + buffer address (CPython C API via
+# ctypes): lets the native rebuild fill final `bytes` results in place.
+import ctypes as _ct  # noqa: E402
+
+_PyBytes_New = _ct.pythonapi.PyBytes_FromStringAndSize
+_PyBytes_New.restype = _ct.py_object
+_PyBytes_New.argtypes = [_ct.c_char_p, _ct.c_ssize_t]
+_PyBytes_AsString = _ct.pythonapi.PyBytes_AsString
+_PyBytes_AsString.restype = _ct.c_void_p
+_PyBytes_AsString.argtypes = [_ct.py_object]
+
+
+def _new_bytes(n: int) -> bytes:
+    """A fresh UNINITIALIZED bytes object of length n (contents garbage
+    until the native rebuild fills it)."""
+    return _PyBytes_New(None, n)
+
+
+def _bytes_addr(b: bytes) -> int:
+    return _PyBytes_AsString(b) or 0
+
 
 def _prep_small(B: int):
     """Reusable host staging for the native-assisted pallas prep: per-block
@@ -398,6 +419,12 @@ class TpuDecoder:
             except Exception:
                 use_native_rebuild = False
         self.use_native_rebuild = use_native_rebuild
+        if use_native_rebuild:
+            try:
+                from ..runtime import native
+                native.alloc_reuse()  # warm-page reuse for output bytes
+            except Exception:
+                pass
 
     def _decode_many_walk(self, sources: list[bytes], stats: dict | None,
                           native_mod) -> list[bytes]:
@@ -633,21 +660,26 @@ class TpuDecoder:
         if keep_parts:
             cont_off_np[1:] = np.cumsum([len(p) for p in keep_parts])
         out_offs_np = np.asarray(out_offs, np.int64)
-        total_out = max(int(out_offs_np[-1]), 1)
-        out_key = ("out", _round_up(total_out, 8 << 20))
-        out_buf = _PREP_CACHE.get(out_key)
-        if out_buf is None:
-            out_buf = np.empty(out_key[1], np.uint8)
-            _PREP_CACHE[out_key] = out_buf
+        # rebuild writes STRAIGHT into each container's final bytes object
+        # (fresh uninitialized PyBytes; filling a never-exposed refcount-1
+        # bytes is the standard CPython idiom) — the per-container
+        # copy-out pass this replaces cost ~4x the replay itself.
+        out_bytes = [_new_bytes(out_offs[k + 1] - out_offs[k])
+                     for k in range(len(cont_ids))]
+        out_ptrs = np.fromiter(
+            (_bytes_addr(b) for b in out_bytes), np.int64,
+            len(out_bytes)) if out_bytes else np.zeros(0, np.int64)
         empty_rows = np.zeros((1, 3), np.int32)
         empty_lits = np.zeros(1, np.uint8)
+        dummy_out = np.zeros(1, np.uint8)
         _mark("flatten")
         status = native_mod.flatten_rebuild(
             lm_arr, d_arr, lit_arr, parts_np, cont_off_np, out_offs_np,
-            empty_rows, empty_lits, out_buf, sources=sources)
+            empty_rows, empty_lits, dummy_out, sources=sources,
+            out_ptrs=out_ptrs)
         for k, ci in enumerate(cont_ids):
             if status[k] == int(cont_nraw[ci]):
-                results[ci] = out_buf[out_offs[k]:out_offs[k + 1]].tobytes()
+                results[ci] = out_bytes[k]
             else:
                 if stats is not None:
                     stats["fallbacks"] = stats.get("fallbacks", 0) + 1

@@ -145,13 +145,30 @@ class TpuEncoder:
         keep = best_len > 0
         return abs_pos[keep], best_cand[keep], best_len[keep]
 
-    def _windows_compact(self, fulls: dict, wins: list, vn: bool) -> dict:
+    def _windows_compact(self, fulls: dict, wins: list, vn: bool,
+                         stats: dict | None = None) -> dict:
         """Batched compact match finding over (src_idx, base, ctx, n, N)
         windows: device-side arbitration, count-bounded downloads, exact
         host re-arbitration only for the saturated rows. Returns window
-        index -> (abs_pos, best_cand, best_len)."""
+        index -> (abs_pos, best_cand, best_len).
+
+        `stats` (optional) accumulates wall seconds per stage: win_prep
+        (host pad staging), matchfind (device dispatch + downloads — on
+        tunneled harnesses transfer-inflated; the bench substitutes an
+        in-jit device measurement), arbitrate (host re-extension +
+        FIFO arbitration)."""
+        import time as _time
         import jax.numpy as jnp
         from ..ops.match_find_tpu import find_matches_compact
+
+        _t0 = _time.perf_counter()
+
+        def _mark(key):
+            nonlocal _t0
+            t = _time.perf_counter()
+            if stats is not None:
+                stats[key] = stats.get(key, 0.0) + (t - _t0)
+            _t0 = t
 
         by_n: dict = {}
         for k, w in enumerate(wins):
@@ -168,6 +185,7 @@ class TpuEncoder:
                 n_reals[r] = n
                 los[r] = ctx
                 his[r] = ctx + WINDOW_STRIDE
+            _mark("win_prep")
             counts, pos_s, cand_s, len_s, cands_s, lcps_s = \
                 find_matches_compact(jnp.asarray(pads),
                                      jnp.asarray(n_reals),
@@ -184,6 +202,11 @@ class TpuEncoder:
             len_h = np.asarray(len_s[:, :kmax]).astype(np.int64)
             cands_h = np.asarray(cands_s[:, :, :smax])
             lcps_h = np.asarray(lcps_s[:, :, :smax])
+            if stats is not None:
+                stats["download_bytes"] = stats.get("download_bytes", 0) + (
+                    pos_h.nbytes // 2 + cand_h.nbytes // 2
+                    + len_h.nbytes // 2 + cands_h.nbytes + lcps_h.nbytes)
+            _mark("matchfind")
             for r, k in enumerate(idxs):
                 i, base, ctx, n, _ = wins[k]
                 S, K = int(counts_h[r, 0]), int(counts_h[r, 1])
@@ -199,6 +222,7 @@ class TpuEncoder:
                 out[k] = (np.concatenate([sp, dp]),
                           np.concatenate([sc, dc]),
                           np.concatenate([sl, dl]))
+            _mark("arbitrate")
         return out
 
     def _device_matches(self, src: bytes, vn: bool) -> MatchStream:
@@ -253,7 +277,8 @@ class TpuEncoder:
             self.last_emission = "host"
         return body + C.MAGIC_EOS.to_bytes(4, "little")
 
-    def encode_many(self, sources: list[bytes]) -> list[bytes]:
+    def encode_many(self, sources: list[bytes],
+                    stats: dict | None = None) -> list[bytes]:
         """Batched container encode — the encode-side serving API.
 
         Every match-finder window of every source dispatches in ONE
@@ -265,8 +290,26 @@ class TpuEncoder:
         ~25MB/s device->host link draining the per-window candidate
         arrays — ~36MB per 1MiB window — which at PCIe rates is
         milliseconds; see CLAUDE.md on timing there.) Output is
-        byte-identical to encode_bytes for each source."""
+        byte-identical to encode_bytes for each source.
+
+        `stats` (optional) accumulates wall seconds per pipeline stage
+        (win_prep / matchfind / arbitrate / merge / select / emit_prep /
+        emit_kernels / pack / small) — the encode benchmark's honest
+        stage accounting; the device-bound marks (matchfind,
+        emit_kernels) are transfer-inflated on tunneled harnesses and the
+        bench substitutes in-jit measurements for them."""
+        import time as _time
+
         from ..spec.match_find import _lcp_backward
+
+        _t0 = _time.perf_counter()
+
+        def _mark(key):
+            nonlocal _t0
+            t = _time.perf_counter()
+            if stats is not None:
+                stats[key] = stats.get(key, 0.0) + (t - _t0)
+            _t0 = t
 
         results: list = [None] * len(sources)
         big: list[int] = []
@@ -275,6 +318,7 @@ class TpuEncoder:
                 results[i] = self._encode_small(s)
             else:
                 big.append(i)
+        _mark("small")
         if not big:
             return results
 
@@ -286,9 +330,11 @@ class TpuEncoder:
             for start in range(0, n_full, WINDOW_STRIDE):
                 base, ctx, n, N = self._window_geometry(n_full, start)
                 wins.append((i, base, ctx, n, N))
-        win_out = self._windows_compact(fulls, wins, False)
+        _mark("win_prep")
+        win_out = self._windows_compact(fulls, wins, False, stats=stats)
 
         # per-source: merge windows into one absolute-coordinate stream
+        _t0 = _time.perf_counter()
         streams: dict = {}
         for i in big:
             parts = [win_out[k] for k, w in enumerate(wins) if w[0] == i]
@@ -301,6 +347,7 @@ class TpuEncoder:
             streams[i] = MatchStream(
                 pos=pos_k[order], match_pos=cand_k[order],
                 fwd_len=fwd_k[order], back_max=back_k[order])
+        _mark("merge")
 
         eos = C.MAGIC_EOS.to_bytes(4, "little")
         if self.device_emission:
@@ -309,15 +356,18 @@ class TpuEncoder:
                 per_src_blocks = {i: self._select_blocks(sources[i],
                                                          streams[i])
                                   for i in big}
+                _mark("select")
                 flat: list = []
                 spans: dict = {}
                 for i in big:
                     spans[i] = (len(flat), len(per_src_blocks[i]))
                     flat.extend(per_src_blocks[i])
-                bodies = self._emit_blocks_device(flat)
+                bodies = self._emit_blocks_device(flat, stats=stats)
+                _t0 = _time.perf_counter()
                 for i in big:
                     off, cnt = spans[i]
                     results[i] = b"".join(bodies[off:off + cnt]) + eos
+                _mark("pack")
                 self.last_emission = "device"
                 return results
             except Exception:
@@ -358,14 +408,24 @@ class TpuEncoder:
         return b"".join(self._emit_blocks_device(
             self._select_blocks(src, stream)))
 
-    def _emit_blocks_device(self, blocks) -> list:
+    def _emit_blocks_device(self, blocks, stats: dict | None = None) -> list:
         """Device tANS block emission: Pallas state scans for every block's
         literal + LMD streams at once (blocks may span MANY sources — the
         encode_many path pools them into one dispatch); the host packs the
         group streams and assembles headers/weights (reference hot loop 2:
         src/fse/literals.rs:93-133, lmds.rs:62-93). Byte-identical to the
         scalar emission path. Returns one bytes per block."""
+        import time as _time
         import jax.numpy as jnp
+
+        _t0 = _time.perf_counter()
+
+        def _mark(key):
+            nonlocal _t0
+            t = _time.perf_counter()
+            if stats is not None:
+                stats[key] = stats.get(key, 0.0) + (t - _t0)
+            _t0 = t
         from ..ops.fse_encode import build_encode_tables, pack_group_stream
         from ..ops.pallas_encode import (R_ROWS as RE, SUPER,
                                          encode_literals_pallas,
@@ -400,6 +460,7 @@ class TpuEncoder:
 
         perm_l = np.argsort(-lit_num, kind="stable").astype(np.int32)
         perm_m = np.argsort(-lmd_num, kind="stable").astype(np.int32)
+        _mark("emit_prep")
         e_l, e_m, e_d, e_u = build_encode_tables(jnp.asarray(weights_np))
 
         def bc(x):
@@ -425,6 +486,7 @@ class TpuEncoder:
         mlo = np.asarray(mlo)[inv_m]
         mmeta = np.asarray(mmeta)[inv_m]
         mfs = np.asarray(mfs)[inv_m]
+        _mark("emit_kernels")
 
         out = []
         for i, (lits, rows3, n_mb) in enumerate(blocks):
@@ -448,6 +510,7 @@ class TpuEncoder:
             out.append(b"".join((
                 F.store_v2_header(block, len(weight_payload)),
                 weight_payload, lit_pay, lmd_pay)))
+        _mark("pack")
         return out
 
     def _select_emit(self, chunk: bytes, stream: MatchStream) -> bytes:

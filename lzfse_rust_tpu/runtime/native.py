@@ -81,7 +81,10 @@ def _configure(lib) -> None:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
         ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p]
+        ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p,
+        ctypes.c_void_p]
+    lib.tl_alloc_reuse.restype = ctypes.c_longlong
+    lib.tl_alloc_reuse.argtypes = []
     lib.tl_walk_batch.restype = ctypes.c_longlong
     lib.tl_walk_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
@@ -272,8 +275,15 @@ def gather_payloads(sources, desc, dst_l, dst_m, stage) -> None:
                               dst_m.ctypes.data, stage.ctypes.data)
 
 
+def alloc_reuse() -> None:
+    """Tune glibc so freed large blocks stay in the arena (warm pages for
+    the next batch's outputs). Serving-process opt-in; see tl_alloc_reuse."""
+    _lib().tl_alloc_reuse()
+
+
 def flatten_rebuild(lm_rows, d_rows, lit_rows, parts, cont_part_off,
-                    out_offs, host_rows, host_lits, out, sources=()):
+                    out_offs, host_rows, host_lits, out, sources=(),
+                    out_ptrs=None):
     """Flatten + LZ-rebuild a batch of containers in one threaded call.
 
     lm_rows/d_rows: (nb, LMDS) int32 packed device rows (l | m << 16 and
@@ -283,7 +293,10 @@ def flatten_rebuild(lm_rows, d_rows, lit_rows, parts, cont_part_off,
     (n_conts+1,) int32; out_offs: (n_conts+1,) int64 output segment
     offsets; host_rows: (n_host_rows, 3) int32; host_lits: uint8; out:
     flat uint8 buffer; sources: the container bytes list (only needed
-    when kind 2/3 parts are present).
+    when kind 2/3 parts are present); out_ptrs: optional (n_conts,)
+    int64 array of per-container output base addresses — when given, each
+    container rebuilds straight into its own buffer (the caller's final
+    bytes objects) and `out` is ignored except as a dummy.
     Returns (n_conts,) int64 per-container bytes-written-or-negative-error.
     """
     import numpy as np
@@ -305,7 +318,8 @@ def flatten_rebuild(lm_rows, d_rows, lit_rows, parts, cont_part_off,
         parts.ctypes.data, cont_part_off.ctypes.data, out_offs.ctypes.data,
         host_rows.ctypes.data, host_lits.ctypes.data, out.ctypes.data,
         status.ctypes.data, n_conts, lit_rows.size, host_lits.size,
-        ctypes.addressof(ptrs))
+        ctypes.addressof(ptrs),
+        out_ptrs.ctypes.data if out_ptrs is not None else None)
     return status
 
 

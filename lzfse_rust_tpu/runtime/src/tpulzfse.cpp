@@ -24,6 +24,8 @@
 #include <thread>
 #include <vector>
 
+#include <malloc.h>
+
 namespace {
 
 // ---------------------------------------------------------------- constants
@@ -2088,6 +2090,18 @@ static int64_t encode_container_mt(const uint8_t* src, size_t n, uint8_t* dst,
 
 extern "C" {
 
+// Serving-process allocator tuning: keep freed large blocks in the arena
+// (no mmap/munmap churn) so each decode batch's fresh output `bytes`
+// objects land on already-faulted pages. Opt-in (TpuDecoder init) — the
+// constant-memory streaming paths never call it, so their RSS contracts
+// are unaffected. Raises steady-state RSS by about one batch of outputs.
+long long tl_alloc_reuse(void) {
+  mallopt(M_MMAP_THRESHOLD, 256 << 20);
+  mallopt(M_TRIM_THRESHOLD, 256 << 20);
+  return 0;
+}
+
+
 long long tl_decode_bound(const char* src, size_t n) {
   return probe_container((const uint8_t*)src, n);
 }
@@ -2312,9 +2326,14 @@ long long tl_flatten_rebuild(
     const int* cont_part_off, const long long* out_offs,
     const int* host_rows, const unsigned char* host_lits, char* out,
     long long* status, size_t n_conts, size_t lit_rows_total,
-    size_t host_lits_total, const char* const* srcs) {
+    size_t host_lits_total, const char* const* srcs,
+    char* const* out_ptrs) {
+  // out_ptrs, when non-null, gives each container its own output base
+  // (the caller's final PyBytes buffers — rebuild writes the results in
+  // place, no per-container copy-out pass); otherwise segments of `out`.
   auto run_one = [&](size_t ci) {
-    Sink sink{(uint8_t*)out + out_offs[ci],
+    Sink sink{out_ptrs ? (uint8_t*)out_ptrs[ci]
+                       : (uint8_t*)out + out_offs[ci],
               (size_t)(out_offs[ci + 1] - out_offs[ci])};
     for (int pi = cont_part_off[ci]; pi < cont_part_off[ci + 1]; pi++) {
       const int* P = parts + (size_t)pi * 6;
