@@ -27,6 +27,7 @@ import numpy as np
 
 from ..base import constants as C
 from ..spec import frontend as FE
+from ..spec import fse as _FSE
 from ..spec.match_find import MatchStream
 
 # Device match-window geometry. The padded device array N is static (one
@@ -267,7 +268,8 @@ class TpuEncoder:
         stream = self._device_matches(src, vn=False)
         if self.device_emission:
             try:
-                body = self._emit_device(src, stream)
+                blocks = self._select_blocks(src, stream)
+                body = b"".join(self._emit_best_device(blocks))
                 self.last_emission = "device"
             except Exception:
                 body = self._select_emit(src, stream)
@@ -352,7 +354,9 @@ class TpuEncoder:
         eos = C.MAGIC_EOS.to_bytes(4, "little")
         if self.device_emission:
             try:
-                # pool every source's blocks into one emission pass
+                # pool every source's blocks into ONE emission pass;
+                # blocks with a period-split candidate emit both variants
+                # in the same pass (emit_best semantics on device)
                 per_src_blocks = {i: self._select_blocks(sources[i],
                                                          streams[i])
                                   for i in big}
@@ -362,7 +366,7 @@ class TpuEncoder:
                 for i in big:
                     spans[i] = (len(flat), len(per_src_blocks[i]))
                     flat.extend(per_src_blocks[i])
-                bodies = self._emit_blocks_device(flat, stats=stats)
+                bodies = self._emit_best_device(flat, stats=stats)
                 _t0 = _time.perf_counter()
                 for i in big:
                     off, cnt = spans[i]
@@ -402,10 +406,36 @@ class TpuEncoder:
             blocks.append((lits, rows3, int(n_mb)))
         return blocks
 
+    def _emit_best_device(self, blocks, stats: dict | None = None) -> list:
+        """Pooled device emission with the period-split decision
+        (FseBackend::emit_best): a block with an eligible candidate (some
+        logical match of running distance 4..15 and length > distance)
+        emits BOTH row forms in the same pooled Pallas pass and the
+        strictly smaller body wins (ties keep the as-is form) — byte-
+        identical to the host engines' emit_best while every block stays
+        on device. Eligible blocks are rare (6/35 on the Snappy corpus),
+        so the pass grows by at most a few rows."""
+        flat = list(blocks)
+        alt_of: dict[int, int] = {}
+        for bi, (lits, rows, n_mb) in enumerate(blocks):
+            alt = _FSE.period_split_rows(rows)
+            if alt is not None:
+                alt_of[bi] = len(flat)
+                flat.append((lits, alt, n_mb))
+        bodies = self._emit_blocks_device(flat, stats=stats)
+        out = []
+        for bi in range(len(blocks)):
+            a = bodies[bi]
+            j = alt_of.get(bi)
+            if j is not None and len(bodies[j]) < len(a):
+                a = bodies[j]
+            out.append(a)
+        return out
+
     def _emit_device(self, src: bytes, stream: MatchStream) -> bytes:
         """Device tANS block emission for one source (see
-        _emit_blocks_device)."""
-        return b"".join(self._emit_blocks_device(
+        _emit_best_device)."""
+        return b"".join(self._emit_best_device(
             self._select_blocks(src, stream)))
 
     def _emit_blocks_device(self, blocks, stats: dict | None = None) -> list:

@@ -1495,8 +1495,93 @@ struct FseBackend {
     emit_block_encoded();
   }
 
-  void emit_block_encoded() { emit_into(lits, n_lit, lmds, n_lmd,
+  void emit_block_encoded() { emit_best(lits, n_lit, lmds, n_lmd,
                                         n_match_bytes, out); reset(); }
+
+  // Period-split candidate (the "reps" rule): a match with running
+  // distance d in [4, 15] and m > d can equivalently emit as m/d pieces
+  // of length d (+ remainder) — each piece a zero-extra-bit direct M
+  // symbol and a repeat-D, so on strongly periodic data the whole stream
+  // entropy-codes to ~0 bits/row and beats the big-match chunking that
+  // pays the top-M-symbol extra bits per row (Apple's encoder emits this
+  // shape on reps13..15; the lzfse_rust reference never does and loses
+  // there). d >= 4 keeps the candidate inside the encoder's normal match
+  // vocabulary (the finder's minimum match length) — in particular d < 4
+  // runs (e.g. zeros) are never rewritten, preserving the reference
+  // golden outputs. Returns false when no row qualifies or the expansion
+  // would overflow the block's LMD cap.
+  // Rows are scanned as LOGICAL matches: a row plus its continuation rows
+  // (l == 0, stored d == 0 — the MAX_M chunking the buffer already
+  // applied), so one long periodic match re-splits with a single
+  // remainder piece instead of one per 2359-chunk.
+  static bool period_split(const Lmd* lmds, int n_lmd, std::vector<Lmd>& b) {
+    uint32_t dist = 0;
+    long long total = 0;
+    bool any = false;
+    for (int i = 0; i < n_lmd;) {
+      uint32_t de = lmds[i].d ? lmds[i].d : dist;
+      if (lmds[i].d) dist = lmds[i].d;
+      long long m = lmds[i].m;
+      int j = i + 1;
+      while (j < n_lmd && lmds[j].l == 0 && lmds[j].d == 0) {
+        m += lmds[j].m;
+        j++;
+      }
+      if (de >= 4 && de <= 15 && m > (long long)de) {
+        any = true;
+        total += m / de + (m % de ? 1 : 0);
+      } else {
+        total += j - i;
+      }
+      i = j;
+    }
+    if (!any || total > LMDS_PER_BLOCK) return false;
+    b.clear();
+    b.reserve((size_t)total);
+    dist = 0;
+    for (int i = 0; i < n_lmd;) {
+      Lmd t = lmds[i];
+      uint32_t de = t.d ? t.d : dist;
+      if (t.d) dist = t.d;
+      long long m = t.m;
+      int j = i + 1;
+      while (j < n_lmd && lmds[j].l == 0 && lmds[j].d == 0) {
+        m += lmds[j].m;
+        j++;
+      }
+      if (!(de >= 4 && de <= 15 && m > (long long)de)) {
+        for (int k = i; k < j; k++) b.push_back(lmds[k]);
+      } else {
+        b.push_back({t.l, (uint16_t)de, t.d});
+        m -= de;
+        while (m >= (long long)de) {
+          b.push_back({0, (uint16_t)de, 0});
+          m -= de;
+        }
+        if (m) b.push_back({0, (uint16_t)m, 0});
+      }
+      i = j;
+    }
+    return true;
+  }
+
+  // Emit the smaller of the as-is block and its period-split candidate
+  // (tie keeps the as-is form, so outputs only ever change when the
+  // candidate is strictly smaller). Every encoding engine routes block
+  // emission through this single decision point.
+  static void emit_best(uint8_t* lits, int n_lit, const Lmd* lmds, int n_lmd,
+                        uint32_t n_match_bytes, std::vector<uint8_t>* out) {
+    std::vector<Lmd> alt;
+    if (!period_split(lmds, n_lmd, alt)) {
+      emit_into(lits, n_lit, lmds, n_lmd, n_match_bytes, out);
+      return;
+    }
+    std::vector<uint8_t> a, b;
+    emit_into(lits, n_lit, lmds, n_lmd, n_match_bytes, &a);
+    emit_into(lits, n_lit, alt.data(), (int)alt.size(), n_match_bytes, &b);
+    const std::vector<uint8_t>& best = b.size() < a.size() ? b : a;
+    out->insert(out->end(), best.begin(), best.end());
+  }
 
   // Whole-block tANS emission as a pure function of the block contents —
   // shared by the sequential backend and the parallel-emission encoder
@@ -1692,8 +1777,20 @@ static void run_frontend(const uint8_t* src, size_t n, Backend& backend) {
   size_t index = 0;
   struct M { size_t idx, midx; uint32_t len; } pending{0, 0, 0};
 
+  // Prefetch distance: the per-position bucket load is a dependent random
+  // access into the 512KB table — on incompressible data (no matches, one
+  // position per iteration) it is THE bottleneck. The probe value at
+  // index+PF is already in sequential source bytes, so its bucket address
+  // is computable early; prefetching it hides the miss behind PF
+  // iterations of work. Semantics-free: decisions never change.
+  constexpr size_t PF = 12;
+
   while (index < limit) {
     uint32_t val = rd32(src + index);
+    if (index + PF < limit) {
+      uint32_t vp = rd32(src + index + PF);
+      __builtin_prefetch(&table[VN ? hash_vn(vp) : hash_fse(vp)], 1);
+    }
     History& bucket = table[VN ? hash_vn(val) : hash_fse(val)];
     // Dead-bucket fast path: q[0] is the newest entry, so if IT is out of
     // range the whole bucket is (ordering invariant) — store the new head
@@ -1750,6 +1847,10 @@ static void run_frontend(const uint8_t* src, size_t n, Backend& backend) {
         // sync_history: push skipped positions (same dead-bucket fast path)
         while (next < literal_index) {
           uint32_t v2 = rd32(src + next);
+          if (next + PF < literal_index) {
+            uint32_t vp = rd32(src + next + PF);
+            __builtin_prefetch(&table[VN ? hash_vn(vp) : hash_fse(vp)], 1);
+          }
           History& b2 = table[VN ? hash_vn(v2) : hash_fse(v2)];
           if ((int64_t)next - b2.q[0].pos > (int64_t)max_d) {
             b2.q[0] = {v2, (int32_t)next};
@@ -1984,7 +2085,7 @@ static int64_t encode_container_mt(const uint8_t* src, size_t n, uint8_t* dst,
       }
       EmitJob& e = jobs[j % ENC_JOBS];
       e.body.clear();
-      FseBackend::emit_into(e.lits.data(), e.n_lit, e.lmds.data(), e.n_lmd,
+      FseBackend::emit_best(e.lits.data(), e.n_lit, e.lmds.data(), e.n_lmd,
                             e.n_match_bytes, &e.body);
       {
         std::lock_guard<std::mutex> lk(mu);
@@ -2053,7 +2154,7 @@ static int64_t encode_container_mt(const uint8_t* src, size_t n, uint8_t* dst,
     for (size_t j = 0; j < n_blocks && !overflow; j++) {
       EmitJob& e = jobs[j];
       e.body.clear();
-      FseBackend::emit_into(e.lits.data(), e.n_lit, e.lmds.data(), e.n_lmd,
+      FseBackend::emit_best(e.lits.data(), e.n_lit, e.lmds.data(), e.n_lmd,
                             e.n_match_bytes, &e.body);
       if (e.body.size() > room) {
         overflow = true;

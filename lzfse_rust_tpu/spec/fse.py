@@ -307,7 +307,96 @@ def encode_lmds(lmds: np.ndarray, etables: EncoderTables) -> tuple[bytes, LmdPar
 
 # --- Whole-block assembly (encode) --------------------------------------------------
 
+def _group_scan(lmds: np.ndarray):
+    """Vectorized logical-match scan for the period-split rule. Returns
+    (d_eff per row, group id per row, group total m, group d_eff,
+    group sizes, eligible-group mask). A logical match is a row plus its
+    continuation rows (l == 0, stored d == 0 — the MAX_M chunking)."""
+    n = len(lmds)
+    l = lmds[:, 0].astype(np.int64)
+    m = lmds[:, 1].astype(np.int64)
+    d = lmds[:, 2].astype(np.int64)
+    idx = np.maximum.accumulate(np.where(d > 0, np.arange(n), -1))
+    d_eff = np.where(idx >= 0, d[np.maximum(idx, 0)], 0)
+    start = (l > 0) | (d > 0)
+    if n:
+        start[0] = True
+    gid = np.cumsum(start) - 1
+    n_g = int(gid[-1]) + 1 if n else 0
+    tm = np.bincount(gid, weights=m, minlength=n_g).astype(np.int64)
+    gde = d_eff[start]
+    gsz = np.bincount(gid, minlength=n_g).astype(np.int64)
+    elig = (gde >= 4) & (gde <= 15) & (tm > gde)
+    return d_eff, gid, tm, gde, gsz, elig
+
+
+def period_split_eligible(lmds: np.ndarray) -> bool:
+    """True when a block's rows have a period-split candidate (mirrors
+    FseBackend::period_split's gate): some logical match has running
+    distance in [4, 15] and total length > distance, and the expansion
+    fits LMDS_PER_BLOCK."""
+    if not len(lmds):
+        return False
+    _, _, tm, gde, gsz, elig = _group_scan(np.asarray(lmds, np.int64)
+                                           .reshape(-1, 3))
+    if not elig.any():
+        return False
+    pieces = np.where(elig, -(-tm // np.maximum(gde, 1)), gsz)
+    return int(pieces.sum()) <= C.LMDS_PER_BLOCK
+
+
+def period_split_rows(lmds: np.ndarray):
+    """The period-split candidate rows, or None when ineligible. Mirrors
+    FseBackend::period_split exactly: each eligible logical match
+    (running distance d in [4, 15], total length > d) re-emits as
+    total//d pieces of length d (zero-extra-bit direct M symbols +
+    repeat-D rows) plus one remainder piece; everything else passes
+    through. Decode-equivalent by the period-copy semantics."""
+    lmds = np.asarray(lmds, np.int32).reshape(-1, 3)
+    if not period_split_eligible(lmds):
+        return None
+    out = []
+    dist = 0
+    n = len(lmds)
+    i = 0
+    while i < n:
+        l, m, d = (int(x) for x in lmds[i])
+        de = d if d else dist
+        if d:
+            dist = d
+        j = i + 1
+        mm = m
+        while j < n and lmds[j, 0] == 0 and lmds[j, 2] == 0:
+            mm += int(lmds[j, 1])
+            j += 1
+        if not (4 <= de <= 15 and mm > de):
+            out.extend(map(tuple, lmds[i:j].tolist()))
+        else:
+            out.append((l, de, d))
+            mm -= de
+            while mm >= de:
+                out.append((0, de, 0))
+                mm -= de
+            if mm:
+                out.append((0, mm, 0))
+        i = j
+    return np.array(out, np.int32).reshape(-1, 3)
+
+
 def encode_block(literals: np.ndarray, lmds: np.ndarray, n_raw_bytes: int) -> bytes:
+    """Emit one complete Vx2 block: the smaller of the as-is rows and the
+    period-split candidate (ties keep as-is) — the single emission
+    decision point, mirroring FseBackend::emit_best."""
+    alt = period_split_rows(lmds)
+    if alt is None:
+        return _encode_block_raw(literals, lmds, n_raw_bytes)
+    a = _encode_block_raw(literals, lmds, n_raw_bytes)
+    b = _encode_block_raw(literals, alt, n_raw_bytes)
+    return b if len(b) < len(a) else a
+
+
+def _encode_block_raw(literals: np.ndarray, lmds: np.ndarray,
+                      n_raw_bytes: int) -> bytes:
     """Emit one complete Vx2 block from padded literals and packed LMD rows.
 
     Mirrors FseBackend::emit_block_v2 (fse/backend.rs:39-54): weights from the

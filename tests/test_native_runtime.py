@@ -96,18 +96,16 @@ def test_native_mutation_agreement_with_spec(mutate_dir):
 def test_synth_corpus_encode_roundtrip(synth_dir):
     """Encode-roundtrip the synthetic families (word/repl/reps/random).
 
-    The size check allows small slack: these fixtures' encoder is
-    unspecified (the reference bench only decode-tests repl/reps,
-    bench.rs:112-115) and our measured outputs beat most of them while
-    reps15 lands 7 bytes over. The hard <=-reference size contract is
-    enforced on the Snappy corpus vs the Apple-encoded fixtures.
+    Hard size contract: every output <= the reference fixture's size.
+    The period-split emission decision (FseBackend::emit_best) closed the
+    former reps13/14/15 regressions, so no slack is needed.
     """
     for p in sorted(synth_dir.glob("*.lzfse"))[::5]:  # sample every 5th
         raw = native.decode_bytes(p.read_bytes())
         enc = native.encode_bytes(raw)
         assert native.decode_bytes(enc) == raw, p.name
         assert spec.decode_bytes(enc) == raw, p.name
-        assert len(enc) <= p.stat().st_size + 16, p.name
+        assert len(enc) <= p.stat().st_size, p.name
 
 
 def test_parallel_decode_equivalence(snappy_dir):

@@ -219,6 +219,36 @@ def test_tpu_encoder_device_emission_identity(monkeypatch):
     assert got == want
 
 
+def test_tpu_encoder_device_emission_period_split(monkeypatch):
+    """Device emission must apply the emit_best period-split decision:
+    on short-period data (reps13-style) the pooled pass emits both row
+    forms and picks the smaller, byte-identical to the host engines."""
+    pytest.importorskip("jax")
+    from jax.experimental import pallas as pl
+
+    from lzfse_rust_tpu.models.encoder import TpuEncoder
+    from lzfse_rust_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime not built (select_blocks)")
+    real_call = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **k: real_call(*a, **{**k, "interpret": True}))
+    data = native.decode_bytes(
+        pathlib.Path("/root/reference/data/synth/reps13.lzfse").read_bytes())
+    enc = TpuEncoder(device_emission=True)
+    got = enc.encode_bytes(data)
+    assert enc.last_emission == "device"
+    want = native.encode_bytes(data)
+    assert got == want
+    # and the split must actually have won somewhere: emit_best beats the
+    # as-is emission on this fixture by construction (reps13 regression)
+    ref_size = pathlib.Path(
+        "/root/reference/data/synth/reps13.lzfse").stat().st_size
+    assert len(got) <= ref_size
+
+
 def test_decode_many_pallas_path_interpret(monkeypatch):
     """The full TpuDecoder pallas path (sorted slots, cached buffers,
     dynamic group steps, unsort) in interpret mode on small fixtures."""
