@@ -76,10 +76,11 @@ def _corpus():
     return files, srcs, hashes
 
 
-def _device_time_injit(srcs):
-    """In-jit repetition timing of the device stage exactly as decode_many
-    runs it: table build + row-permute + both Pallas kernels, sorted blocks,
-    dynamic per-group step counts."""
+def _device_setup(srcs):
+    """Build the exact device-stage inputs decode_many would dispatch for
+    `srcs`: packed tables (host-built, pre-sorted), the 512B-aligned payload
+    cat, per-block states/positions/counts, and the compaction maps.
+    Shared by the bench's in-jit timer and tools/profile_device_stages.py."""
     import functools
     import numpy as np
     import jax
@@ -185,6 +186,24 @@ def _device_time_injit(srcs):
             vec(lmd_states[perm_m]), bc(lit_pos[perm_l]), bc(lmd_pos[perm_m]),
             bc(lit_num[perm_l]), bc(lmd_num[perm_m]),
             jnp.asarray(map_l), jnp.asarray(map_m))
+    return args, dict(B=B, lw=lw, mw=mw, nb=nb)
+
+
+def _device_time_injit(srcs):
+    """In-jit repetition timing of the device stage exactly as decode_many
+    runs it: payload row gathers + both Pallas kernels + output compaction,
+    sorted blocks, dynamic per-group step counts."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    import lzfse_rust_tpu.models.decoder as M
+    from lzfse_rust_tpu.base import constants as C
+
+    from lzfse_rust_tpu.ops.pallas_decode import (decode_literals_pallas,
+                                                  decode_lmds_pallas)
+
+    args, info = _device_setup(srcs)
+    B, lw, mw = info["B"], info["lw"], info["mw"]
 
     @functools.partial(jax.jit, static_argnames="n_rep")
     def pipe(UT, VT, CAT, SL, SM, LS, MS, LP, MP, LN, MN, ML, MM, n_rep):
