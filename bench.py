@@ -146,8 +146,11 @@ def _device_setup(srcs):
     stage = M._cat_staging(len(cat))
     stage[:len(cat)] = np.frombuffer(cat, np.uint8)
     cat2d = stage.view(np.int32).reshape(-1, 128)
-    lw = M._round_up(M.LIT_PAYLOAD_PAD // 4 + 4, 128)
-    mw = M._round_up(M.LMD_PAYLOAD_PAD // 4 + 4, 128)
+    # batch-bucketed window widths EXACTLY as decode_many dispatches them
+    # (decoder.py _walk_front): the static PAD constants used here before
+    # overstated the gather volume and dropped the LMD kernel to G=8
+    lw = M._w_bucket(int(lens_l.max()))
+    mw = M._w_bucket(int(lens_m.max()))
 
     def vec(x):
         out = np.zeros((B, 128), np.int32)
