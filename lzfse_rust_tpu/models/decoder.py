@@ -320,13 +320,13 @@ def _expand_smalls_fn():
 
 @functools.lru_cache(maxsize=1)
 def _concat_fn():
-    """Jitted device-side re-join of the two-thread stage upload halves."""
+    """Jitted device-side re-join of the threaded stage upload slices."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def go(a, b):
-        return jnp.concatenate([a, b], axis=0)
+    def go(*parts):
+        return jnp.concatenate(parts, axis=0)
     return go
 
 
@@ -512,20 +512,28 @@ class TpuDecoder:
             native_mod.gather_payloads(
                 sources, desc, starts_all[:nb].astype(np.int64) * _ALIGN,
                 starts_all[nb:].astype(np.int64) * _ALIGN, stage)
-            # the big stage upload proceeds on TWO worker threads (the
-            # host-side transfer copy scales ~1.6x with a second thread)
-            # while the main thread packs the per-block small parameters;
-            # halves split on a row boundary (= 512B chunk boundary) and
-            # re-join with a trivial on-device concat
+            # the big stage upload proceeds on FOUR worker threads (the
+            # host-side transfer copy scales with copy threads on this
+            # memory-bandwidth-bound box: 1.6x at 2, ~2x at 4) while the
+            # main thread packs the per-block small parameters; the packed
+            # TABLES ride the same pool so their copies overlap too.
+            # Slices split on a row boundary (= 512B chunk boundary) and
+            # re-join with a trivial on-device concat.
             stage2d = stage.view(np.int32).reshape(-1, 128)
-            hrows = stage2d.shape[0] // 2
-            cat_box: list = [None, None]
+            UP_N = 4
+            qrows = stage2d.shape[0] // UP_N
+            cat_box: list = [None] * UP_N
+            tab_box: list = [None, None]
             ths_up = [
                 threading.Thread(
-                    target=lambda i=i, lo=i * hrows,
-                    hi=(i + 1) * hrows if i == 0 else stage2d.shape[0]:
+                    target=lambda i=i, lo=i * qrows,
+                    hi=(i + 1) * qrows if i < UP_N - 1 else stage2d.shape[0]:
                     cat_box.__setitem__(i, jnp.asarray(stage2d[lo:hi])))
-                for i in range(2)]
+                for i in range(UP_N)]
+            ths_up.append(threading.Thread(
+                target=lambda: (th.join(),
+                                tab_box.__setitem__(0, jnp.asarray(u_tabs)),
+                                tab_box.__setitem__(1, jnp.asarray(v_tabs)))))
             for t in ths_up:
                 t.start()
             small = _small_staging(B)
@@ -543,13 +551,11 @@ class TpuDecoder:
             small[sm_n, 12] = starts_all[nb:]
             (lit_states_d, lmd_states_d, bl, bm, nl, nm, start_l_d,
              start_m_d) = _expand_smalls_fn()(jnp.asarray(small))
-            th.join()
             gather = _gather_payload_fn()
-            u_sorted = jnp.asarray(u_tabs)
-            v_sorted = jnp.asarray(v_tabs)
             for t in ths_up:
                 t.join()
-            cat_dev = _concat_fn()(cat_box[0], cat_box[1])
+            u_sorted, v_sorted = tab_box
+            cat_dev = _concat_fn()(*cat_box)
             lit_words_dev = gather(cat_dev, start_l_d, w_words=lit_w_total)
             lmd_words_dev = gather(cat_dev, start_m_d, w_words=lmd_w_total)
             lit_pk, lit_fs128, lit_fp128 = decode_literals_pallas(
