@@ -166,8 +166,7 @@ def _device_setup(srcs):
     def _kshapes():
         lit_sh = jax.eval_shape(
             functools.partial(decode_literals_pallas,
-                              n_steps=C.LITERALS_PER_BLOCK // 4,
-                              halfword=M._LIT_HALF),
+                              n_steps=C.LITERALS_PER_BLOCK // 4),
             jax.ShapeDtypeStruct((B, 1024), jnp.int32),
             jax.ShapeDtypeStruct((B, lw), jnp.int32),
             *[jax.ShapeDtypeStruct((B, 128), jnp.int32)] * 3)[0]
@@ -226,7 +225,7 @@ def _device_time_injit(srcs):
             MW = gath(SM + r - r, mw)
             lits, lfs, _ = decode_literals_pallas(
                 UT + r - r, LW, LS, LP + r - r, LN,
-                C.LITERALS_PER_BLOCK // 4, halfword=M._LIT_HALF)
+                C.LITERALS_PER_BLOCK // 4)
             lm, dd, mfs, _ = decode_lmds_pallas(
                 VT + r - r, MW, MS, MP + r - r, MN,
                 C.LMDS_PER_BLOCK)

@@ -40,14 +40,6 @@ LIT_PAYLOAD_PAD = 50016
 LMD_PAYLOAD_PAD = 67520
 _PAD_TAIL = 8  # window slack
 
-# Literal kernel variant: halfword-granular windows (one window gather per
-# step, EPOCH_HALF epochs — see ops/pallas_decode.py). Env-switchable for
-# hardware A/B; flip the default once measured faster on the corpus batch.
-import os as _os  # noqa: E402
-
-_LIT_HALF = _os.environ.get("LZT_LIT_HALF", "0") == "1"
-
-
 @dataclass
 class _FseBlockDesc:
     container: int
@@ -560,7 +552,7 @@ class TpuDecoder:
             lmd_words_dev = gather(cat_dev, start_m_d, w_words=lmd_w_total)
             lit_pk, lit_fs128, lit_fp128 = decode_literals_pallas(
                 u_sorted, lit_words_dev, lit_states_d, bl, nl,
-                C.LITERALS_PER_BLOCK // 4, halfword=_LIT_HALF)
+                C.LITERALS_PER_BLOCK // 4)
             lm_pk, d_pk, lmd_fs128, lmd_fp128 = decode_lmds_pallas(
                 v_sorted, lmd_words_dev, lmd_states_d, bm, nm,
                 C.LMDS_PER_BLOCK)
@@ -869,7 +861,7 @@ class TpuDecoder:
                 u_sorted,
                 lit_words_dev, jnp.asarray(lit_states),
                 bcast(lit_pos), bcast(lit_num[perm_l]),
-                C.LITERALS_PER_BLOCK // 4, halfword=_LIT_HALF)
+                C.LITERALS_PER_BLOCK // 4)
             lm_pk, d_pk, lmd_fs128, lmd_fp128 = decode_lmds_pallas(
                 v_sorted,
                 lmd_words_dev, jnp.asarray(lmd_states),

@@ -64,12 +64,6 @@ from jax.experimental.pallas import tpu as pltpu
 from ..base import constants as C
 
 EPOCH = 64   # steps between chunk refreshes; 64*51 bits = 102 words < 126
-# Halfword-window literal variant: the compacted window stores, per
-# halfword index h, the 32 bits starting at bit 16*h — a k<=10-bit read
-# then needs ONE gather (no lo/hi funnel pair). 32-(p&15) >= 17 valid
-# bits >= 10 always suffice. The window covers 128 halfwords, so the
-# epoch shrinks to 32 steps (32*4*10 bits = 80 halfwords consumed < 127).
-EPOCH_HALF = 32
 R_SUB = 8    # sublane rows per grid step (one vreg)
 
 # Batch granularity: B must be a multiple of every possible R_SUB * G, so
@@ -239,8 +233,9 @@ def _refresh_compact(pos, win_ref, pos_s_ref, chunk_ref, g_sec, w_words):
     per-step reads then cost one gather instead of a 2-tile gather+select.
     Amortized over EPOCH steps the 5 gathers/section here are noise."""
     sw = 128 // g_sec
+    rs = pos_s_ref.shape[0]
     pos_s_ref[:, :] = pos
-    for r in range(R_SUB):
+    for r in range(rs):
         for g in range(g_sec):
             p0 = jnp.maximum(pos_s_ref[r, g * sw], 0)
             start = jnp.maximum((p0 >> 5) - 126, 0)
@@ -248,13 +243,13 @@ def _refresh_compact(pos, win_ref, pos_s_ref, chunk_ref, g_sec, w_words):
             src = pl.multiple_of(g * w_words + base, 128)
             chunk_ref[pl.ds(r, 1), pl.ds(g * 256, 256)] = \
                 win_ref[pl.ds(r, 1), pl.ds(src, 256)]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R_SUB, 128), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rs, 128), 1)
     start_v = _cstart(pos)
     base_v = jnp.clip(start_v & ~127, 0, w_words - 256)
     s_v = start_v - base_v  # valid at each section's lane 0
     for g in range(g_sec):
         sg = jnp.take_along_axis(
-            s_v, jnp.full((R_SUB, 128), g * sw, jnp.int32), axis=1)
+            s_v, jnp.full((rs, 128), g * sw, jnp.int32), axis=1)
         tA = chunk_ref[:, g * 256:g * 256 + 128]
         tB = chunk_ref[:, g * 256 + 128:g * 256 + 256]
         ia = sg + lane
@@ -269,85 +264,20 @@ def _refresh_compact(pos, win_ref, pos_s_ref, chunk_ref, g_sec, w_words):
         chunk_ref[:, g * 256 + 128:g * 256 + 256] = c1
 
 
-def _cstart_h(pos):
-    """Halfword-window analogue of _cstart: stream halfword index that
-    compacted entry 0 maps to after a refresh at position `pos` (127
-    halfwords below the current halfword, clipped at 0). An EPOCH_HALF
-    epoch consumes at most ~80 halfwords, so in-epoch reads stay inside
-    the 128-entry window."""
-    p = jnp.maximum(pos, 0)
-    return jnp.maximum((p >> 4) - 127, 0)
-
-
-def _refresh_half(pos, win_ref, pos_s_ref, chunk_ref, g_sec, w_words):
-    """Halfword-granular window refresh: after the scalar 256-word aligned
-    slice (as _refresh_compact), the vector stage builds, for each section,
-    128 combined words C[i] = stream bits [16*(start_h+i), +32) — word
-    w = (start_h+i)>>1 funneled with w+1 on odd halfword parity. Per-step
-    reads then cost ONE gather and no funnel. C lands in the section's
-    first 128 chunk words; the second 128 stay as stale staging."""
-    sw = 128 // g_sec
-    pos_s_ref[:, :] = pos
-    for r in range(R_SUB):
-        for g in range(g_sec):
-            p0 = jnp.maximum(pos_s_ref[r, g * sw], 0)
-            start_h = jnp.maximum((p0 >> 4) - 127, 0)
-            base = jnp.clip((start_h >> 1) & ~127, 0, w_words - 256)
-            src = pl.multiple_of(g * w_words + base, 128)
-            chunk_ref[pl.ds(r, 1), pl.ds(g * 256, 256)] = \
-                win_ref[pl.ds(r, 1), pl.ds(src, 256)]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R_SUB, 128), 1)
-    start_h_v = _cstart_h(pos)
-    base_v = jnp.clip((start_h_v >> 1) & ~127, 0, w_words - 256)
-    for g in range(g_sec):
-        sel = jnp.full((R_SUB, 128), g * sw, jnp.int32)
-        sh = jnp.take_along_axis(start_h_v, sel, axis=1)
-        bs = jnp.take_along_axis(base_v, sel, axis=1)
-        tA = chunk_ref[:, g * 256:g * 256 + 128]
-        tB = chunk_ref[:, g * 256 + 128:g * 256 + 256]
-        a = sh + lane                 # stream halfword index
-        wi = (a >> 1) - bs            # word index within the 256 slice
-        lo = jnp.where(wi < 128,
-                       jnp.take_along_axis(tA, wi & 127, axis=1),
-                       jnp.take_along_axis(tB, wi & 127, axis=1))
-        wi1 = wi + 1
-        hi = jnp.where(wi1 < 128,
-                       jnp.take_along_axis(tA, wi1 & 127, axis=1),
-                       jnp.take_along_axis(tB, wi1 & 127, axis=1))
-        comb = ((lo.astype(jnp.uint32) >> 16)
-                | (hi.astype(jnp.uint32) << 16)).astype(jnp.int32)
-        chunk_ref[:, g * 256:g * 256 + 128] = \
-            jnp.where((a & 1) == 1, comb, lo)
-
-
-def _extract_h(chunk, cstart_h, pos, n_bits, g_sec, sec_id):
-    """Halfword-window extract: one gather per section, no funnel. Valid
-    for n_bits <= 16 (the literal kernel's k <= 10): the combined word at
-    halfword h provides 32-(pos&15) >= 17 bits from position pos."""
-    p = jnp.maximum(pos, 0)
-    hidx = jnp.clip((p >> 4) - cstart_h, 0, 127)
-    w = _bit_merge(
-        [jnp.take_along_axis(chunk[:, g * 256:g * 256 + 128], hidx, axis=1)
-         for g in range(g_sec)], sec_id)
-    val = w.astype(jnp.uint32) >> (p & 15).astype(jnp.uint32)
-    nb = n_bits.astype(jnp.uint32)
-    bits = (val & ((jnp.uint32(1) << nb) - 1)).astype(jnp.int32)
-    return jnp.where(pos < 0, 0, bits)
-
-
 def _literal_kernel(ns_ref, u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
                     out_ref, fs_ref, fpos_ref,
                     chunk_ref, pos_s_ref, s_c_ref, p_c_ref, *, g_sec,
-                    w_words, halfword=False):
-    epoch = EPOCH_HALF if halfword else EPOCH
+                    w_words):
+    epoch = EPOCH
     sw = 128 // g_sec
+    rs = s_init_ref.shape[0]
     n_st = epoch // sw  # output tiles stored per superepoch
     se = pl.program_id(1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R_SUB, 128), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rs, 128), 1)
     glane = lane & (sw - 1)
     sec_id = lane >> (sw.bit_length() - 1)
     num = num_ref[:, :]
-    zero_acc = jnp.zeros((R_SUB, 128), jnp.int32)
+    zero_acc = jnp.zeros((rs, 128), jnp.int32)
 
     @pl.when(se == 0)
     def _init():
@@ -366,14 +296,9 @@ def _literal_kernel(ns_ref, u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
 
         def body(carry):
             s, pos = carry
-            if halfword:
-                _refresh_half(pos, win_ref, pos_s_ref, chunk_ref, g_sec,
-                              w_words)
-                cstart = _cstart_h(pos)
-            else:
-                _refresh_compact(pos, win_ref, pos_s_ref, chunk_ref, g_sec,
-                                 w_words)
-                cstart = _cstart(pos)
+            _refresh_compact(pos, win_ref, pos_s_ref, chunk_ref, g_sec,
+                             w_words)
+            cstart = _cstart(pos)
             chunk = chunk_ref[:, :]
 
             def one_step(j, carry):
@@ -392,12 +317,7 @@ def _literal_kernel(ns_ref, u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
                 ksum = k + f1 + (f2 + f3)
                 t = ksum + b1 + (b2 + b3)
                 p_lane = pos - ksum
-                if halfword:
-                    bits = _extract_h(chunk, cstart, p_lane, k, g_sec,
-                                      sec_id)
-                else:
-                    bits = _extract_c(chunk, cstart, p_lane, k, g_sec,
-                                      sec_id)
+                bits = _extract_c(chunk, cstart, p_lane, k, g_sec, sec_id)
                 if masked:
                     active = ((se * epoch + j) * 4) < num
                     new_s = jnp.where(active, bits + delta, s)
@@ -453,14 +373,15 @@ def _lmd_kernel(ns_ref, v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref,
                 num_ref, out_lm_ref, out_d_ref, fs_ref, fpos_ref,
                 chunk_ref, pos_s_ref, s_c_ref, p_c_ref, *, g_sec, w_words):
     sw = 128 // g_sec
+    rs = s_init_ref.shape[0]
     n_st = EPOCH // sw
     se = pl.program_id(1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R_SUB, 128), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rs, 128), 1)
     glane = lane & (sw - 1)
     sec_id = lane >> (sw.bit_length() - 1)
-    d_base_row = d_base_ref[:, :]  # (R_SUB, 128): lanes 0..63 = D_BASE_VALUE
+    d_base_row = d_base_ref[:, :]  # (rs, 128): lanes 0..63 = D_BASE_VALUE
     num = num_ref[:, :]
-    zero_acc = jnp.zeros((R_SUB, 128), jnp.int32)
+    zero_acc = jnp.zeros((rs, 128), jnp.int32)
 
     @pl.when(se == 0)
     def _init():
@@ -596,9 +517,9 @@ def _widen(x, B, g_sec):
     return jnp.pad(xb, ((0, 0), (0, 128 - sw)))
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "halfword"))
+@functools.partial(jax.jit, static_argnames=("n_steps",))
 def decode_literals_pallas(u_tab, win_words, init_states, init_pos, num,
-                           n_steps: int, halfword: bool = False):
+                           n_steps: int):
     """Batched 4-lane literal decode.
 
     u_tab: (B, 1024) packed int32; win_words: (B, W) uint32 LE words of the
@@ -607,14 +528,13 @@ def decode_literals_pallas(u_tab, win_words, init_states, init_pos, num,
     (B, 128) int32 (lanes 0..3, zeros elsewhere); init_pos/num: (B, 128)
     int32 broadcast. B must be a multiple of R_ROWS. Returns (packed
     literals (B, >=n_steps) int32, final_states (B, 128), final_pos
-    (B, 128)). halfword=True selects the EPOCH_HALF halfword-window
-    variant (one window gather per step instead of two)."""
+    (B, 128))."""
     B, W = win_words.shape
     assert B % R_ROWS == 0
     assert W >= 256
-    epoch = EPOCH_HALF if halfword else EPOCH
-    G = _pick_g(W, False)
-    rows = R_SUB * G
+    epoch = EPOCH
+    RS, G = R_SUB, _pick_g(W, False)
+    rows = RS * G
     n_se_max = (n_steps + epoch - 1) // epoch
     n_st = epoch // (128 // G)
     n_cols = n_se_max * n_st * 128
@@ -623,31 +543,30 @@ def decode_literals_pallas(u_tab, win_words, init_states, init_pos, num,
     ns = _group_counts(steps, rows, n_se_max, epoch)
     ns_shape = (B // rows, 2)
     u_split = repack_u_split(u_tab)
-    kernel = functools.partial(_literal_kernel, g_sec=G, w_words=W,
-                               halfword=halfword)
+    kernel = functools.partial(_literal_kernel, g_sec=G, w_words=W)
     out, fs, fp = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(ns_shape, lambda g, se: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((R_SUB, G * 768), lambda g, se: (g, 0),
+            pl.BlockSpec((RS, G * 768), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, G * W), lambda g, se: (g, 0),
+            pl.BlockSpec((RS, G * W), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, 128), lambda g, se: (g, 0),
+            pl.BlockSpec((RS, 128), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, 128), lambda g, se: (g, 0),
+            pl.BlockSpec((RS, 128), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, 128), lambda g, se: (g, 0),
+            pl.BlockSpec((RS, 128), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((R_SUB, n_st * 128), lambda g, se: (g, se),
+            pl.BlockSpec((RS, n_st * 128), lambda g, se: (g, se),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, 128), lambda g, se: (g, 0),
+            pl.BlockSpec((RS, 128), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, 128), lambda g, se: (g, 0),
+            pl.BlockSpec((RS, 128), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -656,10 +575,10 @@ def decode_literals_pallas(u_tab, win_words, init_states, init_pos, num,
             jax.ShapeDtypeStruct((B // G, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((R_SUB, G * 256), jnp.int32),
-            pltpu.VMEM((R_SUB, 128), jnp.int32),
-            pltpu.VMEM((R_SUB, 128), jnp.int32),
-            pltpu.VMEM((R_SUB, 128), jnp.int32),
+            pltpu.VMEM((RS, G * 256), jnp.int32),
+            pltpu.VMEM((RS, 128), jnp.int32),
+            pltpu.VMEM((RS, 128), jnp.int32),
+            pltpu.VMEM((RS, 128), jnp.int32),
         ],
     )(ns, u_split.reshape(B // G, G * 768),
       win_words.reshape(B // G, G * W), _to_sections(init_states, G),
@@ -683,8 +602,8 @@ def decode_lmds_pallas(v_tab, win_words, init_states, init_pos, num,
     B, W = win_words.shape
     assert B % R_ROWS_LMD == 0
     assert W >= 256
-    G = _pick_g(W, True)
-    rows = R_SUB * G
+    RS, G = R_SUB, _pick_g(W, True)
+    rows = RS * G
     n_se_max = (n_steps + EPOCH - 1) // EPOCH
     n_st = EPOCH // (128 // G)
     n_cols = n_se_max * n_st * 128
@@ -701,27 +620,27 @@ def decode_lmds_pallas(v_tab, win_words, init_states, init_pos, num,
         in_specs=[
             pl.BlockSpec(ns_shape, lambda g, se: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((R_SUB, G * 384), lambda g, se: (g, 0),
+            pl.BlockSpec((RS, G * 384), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, 128), lambda g, se: (g, 0),
+            pl.BlockSpec((RS, 128), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, G * W), lambda g, se: (g, 0),
+            pl.BlockSpec((RS, G * W), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, 128), lambda g, se: (g, 0),
+            pl.BlockSpec((RS, 128), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, 128), lambda g, se: (g, 0),
+            pl.BlockSpec((RS, 128), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, 128), lambda g, se: (g, 0),
+            pl.BlockSpec((RS, 128), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((R_SUB, n_st * 128), lambda g, se: (g, se),
+            pl.BlockSpec((RS, n_st * 128), lambda g, se: (g, se),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, n_st * 128), lambda g, se: (g, se),
+            pl.BlockSpec((RS, n_st * 128), lambda g, se: (g, se),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, 128), lambda g, se: (g, 0),
+            pl.BlockSpec((RS, 128), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_SUB, 128), lambda g, se: (g, 0),
+            pl.BlockSpec((RS, 128), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -731,10 +650,10 @@ def decode_lmds_pallas(v_tab, win_words, init_states, init_pos, num,
             jax.ShapeDtypeStruct((B // G, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((R_SUB, G * 256), jnp.int32),
-            pltpu.VMEM((R_SUB, 128), jnp.int32),
-            pltpu.VMEM((R_SUB, 128), jnp.int32),
-            pltpu.VMEM((R_SUB, 128), jnp.int32),
+            pltpu.VMEM((RS, G * 256), jnp.int32),
+            pltpu.VMEM((RS, 128), jnp.int32),
+            pltpu.VMEM((RS, 128), jnp.int32),
+            pltpu.VMEM((RS, 128), jnp.int32),
         ],
     )(ns, v_tab.reshape(B // G, G * 384), d_base,
       win_words.reshape(B // G, G * W), _to_sections(init_states, G),

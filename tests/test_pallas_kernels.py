@@ -90,18 +90,6 @@ def test_pallas_kernels_interpret_match_spec(block, monkeypatch):
     assert (fs[0, :4] == 0).all()
     assert np.array_equal(got, np.asarray(lits, np.uint8))
 
-    # halfword-window variant (EPOCH_HALF, one window gather per step)
-    lit_h, fs_h, fp_h = P.decode_literals_pallas(u_packed, lw, ls, lp, ln,
-                                                 n_steps, halfword=True)
-    lit_h = np.asarray(lit_h)
-    got_h = np.zeros(d.block.literal.num, np.uint8)
-    for i in range(d.block.literal.num // 4):
-        w = lit_h[0, i]
-        got_h[4 * i:4 * i + 4] = [(w >> s) & 0xFF for s in (0, 8, 16, 24)]
-    assert np.array_equal(got_h, np.asarray(lits, np.uint8))
-    assert np.array_equal(np.asarray(fs_h), fs)
-    assert np.array_equal(np.asarray(fp_h), np.asarray(fp))
-
     mw, ms, mp, mn = prep(d.lmd_payload, d.block.lmd.state,
                           d.block.lmd.bits, d.block.lmd.num,
                           (0, C.L_STATES, C.L_STATES + C.M_STATES))

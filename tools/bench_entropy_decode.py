@@ -48,15 +48,12 @@ LP = bc(lit_pos[perm_l]); MP = bc(lmd_pos[perm_m])
 LN = bc(lit_num[perm_l]); MN = bc(lmd_num[perm_m])
 PL = jnp.asarray(perm_l); PM = jnp.asarray(perm_m)
 
-LIT_HALF = os.environ.get("LZT_LIT_HALF", "0") == "1"
-
 @functools.partial(jax.jit, static_argnames="n_rep")
 def pipe(Wd, LW, MW, LS, MS, LP, MP, LN, MN, PL, PM, n_rep):
     def body(r, acc):
         vp, vb, up = build_decode_tables(Wd + r - r)
         lits, lfs, lfp = decode_literals_pallas(
-            jnp.take(up, PL, axis=0), LW, LS, LP + r - r, LN, 10000,
-            halfword=LIT_HALF)
+            jnp.take(up, PL, axis=0), LW, LS, LP + r - r, LN, 10000)
         lm, dd, mfs, mfp = decode_lmds_pallas(
             jnp.take(vp, PM, axis=0), MW, MS, MP + r - r, MN, 10000)
         return acc + jnp.sum(lfs) + jnp.sum(mfs) + lits[0,0] + lm[0,0] + dd[0,0]

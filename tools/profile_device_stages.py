@@ -78,7 +78,7 @@ def make(pieces):
             if "lit" in pieces:
                 lits, lfs, _ = decode_literals_pallas(
                     UT + r - r, LW, LS, LP + r - r, LN,
-                    C.LITERALS_PER_BLOCK // 4, halfword=M._LIT_HALF)
+                    C.LITERALS_PER_BLOCK // 4)
                 acc = acc + jnp.sum(lfs)
                 if "comp" in pieces:
                     acc = acc + jnp.sum(comp(lits, ML))

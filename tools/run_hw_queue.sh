@@ -31,9 +31,9 @@ ARGS=("$@")
 # 1. correctness gates first: full-pipeline decode + encode byte identity
 want corpus "${ARGS[@]}"   && { run corpus   2400 python tools/check_corpus_tpu.py || exit 1; }
 want enc_id "${ARGS[@]}"   && { run enc_id   2400 python tools/test_tpu_encoder_corpus.py || exit 1; }
-# 2. entropy kernel number (select trees landed) + halfword A/B
+# 2. entropy kernel number + representative per-stage profile
 want entropy "${ARGS[@]}"  && run entropy  2400 python tools/bench_entropy_decode.py
-want ent_half "${ARGS[@]}" && run ent_half 2400 env LZT_LIT_HALF=1 python tools/bench_entropy_decode.py
+want profile "${ARGS[@]}"  && run profile  3000 python tools/profile_device_stages.py
 # 3. driver metric + REPS sweep (group utilization: 8 vs 16 vs 24 replicas)
 want bench8 "${ARGS[@]}"   && run bench8   2400 env LZT_BENCH_REPS=8 python bench.py
 want bench24 "${ARGS[@]}"  && run bench24  2400 python bench.py
