@@ -101,15 +101,64 @@ def _candidates(buckets: np.ndarray, vals: np.ndarray, vn: bool,
 _MAX_LCP_WINDOW = 4096
 
 
+def _chain_runs(a: np.ndarray, b: np.ndarray):
+    """Run decomposition for the LCP chain rule. Rows at consecutive
+    positions with the SAME distance d = a - b satisfy
+        E(p) = E(p+1) + 1      (forward run length)
+        B(p) = B(p-1) + 1      (backward run length)
+    whenever the earlier row has >= 1 byte of forward equality — true for
+    every caller (rows are match candidates with lcp >= 3, or re-extension
+    rows with start >= 4). So only one REPRESENTATIVE per run needs a real
+    byte comparison; the rest back-fill linearly. This turns the
+    O(rows x matchlen) blow-up on periodic data (html_x_4: 307KB-long
+    matches at every position of every repeat) into O(run content).
+
+    Returns (order, run_id_sorted, run_tail_sorted_idx, run_head_sorted_idx)
+    over the lexsort-by-(d, a) ordering."""
+    d = a.astype(np.int64) - b
+    order = np.lexsort((a, d))
+    ao = a[order]
+    do = d[order]
+    n = len(a)
+    brk = np.empty(n, bool)
+    if n:
+        brk[0] = True
+        brk[1:] = (do[1:] != do[:-1]) | (ao[1:] != ao[:-1] + 1)
+    rid = np.cumsum(brk) - 1
+    heads = np.flatnonzero(brk)
+    tails = np.empty(len(heads), np.int64)
+    tails[:-1] = heads[1:] - 1
+    if len(heads):
+        tails[-1] = n - 1
+    return order, rid, tails, heads
+
+
 def _lcp_forward(src: np.ndarray, a: np.ndarray, b: np.ndarray,
                  start: np.ndarray, maxlen: np.ndarray) -> np.ndarray:
     """Vectorized LCP of src[a+start:] vs src[b+start:], clamped to maxlen.
 
-    Equivalent to fast_match_inc (match_fast.rs:22-49), but compares
-    geometrically growing windows (8, 16, ... bytes) so multi-KB matches cost
-    O(log) vectorized rounds instead of O(len/8). On the first unequal window
-    the exact mismatch offset comes from argmax over the gathered bytes.
+    Chain rule: real comparisons run only on run TAILS (_chain_runs);
+    every other row of a run is E(tail) + (tail_pos - pos), clamped.
+    Exactness requires maxlen(p) - (N - p) constant along a run — all
+    callers pass block/window-end caps of that form. The precondition
+    (>= 1 leading equal byte per row) holds for every caller.
     """
+    if len(a) > 64:
+        order, rid, tails, _ = _chain_runs(a, b)
+        ridx = order[tails]
+        e_tail = _lcp_core_fwd(src, a[ridx], b[ridx], start[ridx],
+                               maxlen[ridx])
+        out = np.empty(len(a), np.int64)
+        out[order] = e_tail[rid] + (a[order[tails]][rid] - a[order])
+        return np.minimum(out, maxlen)
+    return _lcp_core_fwd(src, a, b, start, maxlen)
+
+
+def _lcp_core_fwd(src: np.ndarray, a: np.ndarray, b: np.ndarray,
+                  start: np.ndarray, maxlen: np.ndarray) -> np.ndarray:
+    """Geometric-window LCP compare (fast_match_inc, match_fast.rs:22-49):
+    8, 16, ... byte windows, so multi-KB matches cost O(log) vectorized
+    rounds; the first unequal window locates the mismatch via argmax."""
     out = start.astype(np.int64).copy()
     active = np.arange(len(a))
     pad = np.concatenate([src, np.zeros(_MAX_LCP_WINDOW, dtype=np.uint8)])
@@ -135,9 +184,24 @@ def _lcp_backward(src: np.ndarray, a: np.ndarray, b: np.ndarray,
                   maxlen: np.ndarray) -> np.ndarray:
     """Vectorized backward LCP of src[..a] vs src[..b], clamped to maxlen.
 
-    Equivalent to fast_match_dec (match_fast.rs:61-89) with the same galloping
-    strategy; windows are compared in reversed byte order going down.
-    """
+    Chain rule: real comparisons run only on run HEADS (see _lcp_forward /
+    _chain_runs); other rows are B(head) + (pos - head_pos), clamped.
+    Exactness requires maxlen(p) - p constant along a run — all callers
+    pass min(pos, cand)-form caps."""
+    if len(a) > 64:
+        order, rid, _, heads = _chain_runs(a, b)
+        ridx = order[heads]
+        b_head = _lcp_core_bwd(src, a[ridx], b[ridx], maxlen[ridx])
+        out = np.empty(len(a), np.int64)
+        out[order] = b_head[rid] + (a[order] - a[order[heads]][rid])
+        return np.minimum(out, maxlen)
+    return _lcp_core_bwd(src, a, b, maxlen)
+
+
+def _lcp_core_bwd(src: np.ndarray, a: np.ndarray, b: np.ndarray,
+                  maxlen: np.ndarray) -> np.ndarray:
+    """Reversed geometric-window LCP compare (fast_match_dec,
+    match_fast.rs:61-89)."""
     out = np.zeros(len(a), dtype=np.int64)
     active = np.arange(len(a))
     pad = np.concatenate([np.zeros(_MAX_LCP_WINDOW, dtype=np.uint8), src])

@@ -38,9 +38,10 @@ RUNS = int(os.environ.get("BE_RUNS", "5"))
 
 
 def _injit_pair(fn_build, args, n_lo=1, n_hi=5):
-    """(t(n_hi) - t(n_lo)) / (n_hi - n_lo) after warming both."""
-    f_lo = lambda: fn_build(*args, n_rep=n_lo)
-    f_hi = lambda: fn_build(*args, n_rep=n_hi)
+    """(t(n_hi) - t(n_lo)) / (n_hi - n_lo) after warming both. float()
+    forces the scalar download (the only honest sync on this harness)."""
+    f_lo = lambda: float(fn_build(*args, n_rep=n_lo))
+    f_hi = lambda: float(fn_build(*args, n_rep=n_hi))
     f_lo(), f_hi()
     t = time.time(); f_lo(); t_lo = time.time() - t
     t = time.time(); f_hi(); t_hi = time.time() - t
@@ -72,7 +73,7 @@ def device_matchfind_injit(enc, sources, big):
                 P, NR + r - r, LO, HI, False)
             return (acc + jnp.sum(counts) + jnp.sum(pos) + jnp.sum(cand)
                     + jnp.sum(ln) + jnp.sum(cands) + jnp.sum(lcps))
-        return float(jax.lax.fori_loop(0, n_rep, body, jnp.int64(0)))
+        return jax.lax.fori_loop(0, n_rep, body, jnp.int64(0))
 
     total = 0.0
     for N, idxs in sorted(by_n.items()):
@@ -179,7 +180,7 @@ def device_emission_injit(enc, sources, big):
                     + jnp.sum(gmeta.astype(jnp.int64))
                     + jnp.sum(lfs) + jnp.sum(mlo.astype(jnp.int64))
                     + jnp.sum(mmeta.astype(jnp.int64)) + jnp.sum(mfs))
-        return float(jax.lax.fori_loop(0, n_rep, body, jnp.int64(0)))
+        return jax.lax.fori_loop(0, n_rep, body, jnp.int64(0))
 
     return _injit_pair(pipe, args), nb
 
