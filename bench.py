@@ -52,6 +52,10 @@ SNAPPY = pathlib.Path("/root/reference/data/snappy")
 # utilization prediction — 24 is the default serving batch.
 REPS = int(os.environ.get("LZT_BENCH_REPS", "24"))
 
+# lzfse_ref aggregate ENCODE throughput on the corpus (size-weighted from
+# BASELINE.md's encode rows, README.md:166-176) — the vs_ref_encode base
+ENC_BASELINE_GBPS = 0.0496
+
 # lzfse_ref decode MB/s per corpus file (BASELINE.md / README.md:155-165)
 REF_DECODE_MBPS = {
     "html": 816.8, "urls.10K": 475.6, "fireworks.jpeg": 331.9,
@@ -376,15 +380,40 @@ def main():
 
     metric = "snappy_full_decode_GBps_chip"
     extra = {}
+    tpu_ok = False
     try:
         if not _tpu_reachable():
             raise RuntimeError("device discovery timed out (tunnel down)")
         value, extra = bench_tpu_full_decode()
+        tpu_ok = True
     except Exception as e:  # no TPU / compile issue: report host native path
         sys.stderr.write(f"tpu bench failed ({type(e).__name__}: {e}); "
                          "falling back to native host decode\n")
         metric = "snappy_native_decode_GBps_host"
         value, extra = bench_native_decode()
+
+    # encode headline rides in extra (tools/bench_encode_e2e.py in a
+    # subprocess so an encode-side failure cannot take down the decode
+    # metric); in-bench byte-identity against the native encoder included
+    if tpu_ok and os.environ.get("LZT_BENCH_ENCODE", "1") == "1":
+        try:
+            import subprocess
+            here = pathlib.Path(__file__).resolve().parent
+            r = subprocess.run(
+                [sys.executable, str(here / "tools" / "bench_encode_e2e.py")],
+                capture_output=True, text=True, timeout=2400, cwd=str(here))
+            line = [ln for ln in r.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            enc = json.loads(line)
+            extra["encode"] = {
+                "full_encode_GBps_chip": enc["value"],
+                "vs_ref_encode": round(
+                    enc["value"] / ENC_BASELINE_GBPS, 2),
+                "frontend": enc.get("frontend"),
+                "stages_s": enc.get("stages_s"),
+            }
+        except Exception as e:
+            extra["encode_error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps({
         "metric": metric,

@@ -52,18 +52,39 @@ def _bucket_pow2(x: int, lo: int = 4096) -> int:
 
 
 class TpuEncoder:
-    """Container encoder with device-side match finding and (by default on
-    accelerators) device-side tANS block emission — the reference encoder's
-    two hot loops both run on the TPU; the host keeps the cheap sequential
-    selection scan and the bit/byte assembly."""
+    """Container encoder with device-side tANS block emission and a
+    selectable match-finding front end.
 
-    def __init__(self, device_emission: bool | None = None):
+    frontend="native" (the serving default when the C++ runtime is built):
+    the history-table frontend runs natively per source — ctypes releases
+    the GIL, so sources parallelize across a host pool — and EVERY
+    resulting block pools into one device emission pass (the reference
+    encoder's hot loop 2 — literals.rs:93-133, lmds.rs:62-93 — at
+    ~0.7 GB/s in-jit vs ~0.17 GB/s native). frontend="device" is the fully
+    offloaded path: windowed decision-independent match finding on the TPU
+    (ops/match_find_tpu.py) + native selection. It is kept as the
+    architecture for hardware where it wins; on v5e the XLA argsorts at
+    its core dominate (measured ~5 MB/s/window vs the native frontend's
+    ~100+ MB/s/core), so it is not the default. Either way output is
+    byte-identical to the native/spec encoders at every size."""
+
+    def __init__(self, device_emission: bool | None = None,
+                 frontend: str | None = None):
         import jax
         import jax.numpy as jnp
         self._jnp = jnp
         if device_emission is None:
             device_emission = jax.default_backend() not in ("cpu",)
         self.device_emission = device_emission
+        if frontend is None:
+            try:
+                from ..runtime import native
+                frontend = "native" if (device_emission
+                                        and native.available()) else "device"
+            except Exception:
+                frontend = "device"
+        assert frontend in ("native", "device")
+        self.frontend = frontend
 
     @staticmethod
     def _window_geometry(n_full: int, start: int):
@@ -265,6 +286,16 @@ class TpuEncoder:
     def encode_bytes(self, src: bytes) -> bytes:
         if len(src) <= C.VN_CUTOFF:
             return self._encode_small(src)
+        if self.frontend == "native" and self.device_emission:
+            from ..runtime import native
+            try:
+                blocks = self._parse_blocks(native.frontend_blocks(src))
+                body = b"".join(self._emit_best_device(blocks))
+                self.last_emission = "device"
+                return body + C.MAGIC_EOS.to_bytes(4, "little")
+            except Exception:
+                self.last_emission = "host-fallback"
+                return native.encode_bytes(src)
         stream = self._device_matches(src, vn=False)
         if self.device_emission:
             try:
@@ -323,6 +354,42 @@ class TpuEncoder:
         _mark("small")
         if not big:
             return results
+        eos = C.MAGIC_EOS.to_bytes(4, "little")
+
+        if self.frontend == "native" and self.device_emission:
+            # serving default: native GIL-free frontends across a host
+            # pool; every block of every source pools into ONE device
+            # emission pass (emit_best/period-split on device)
+            import concurrent.futures as _cf
+            import os as _os
+
+            from ..runtime import native
+            try:
+                workers = min(len(big), _os.cpu_count() or 1)
+                with _cf.ThreadPoolExecutor(workers) as ex:
+                    blobs = list(ex.map(
+                        lambda i: native.frontend_blocks(sources[i]), big))
+                per_src_blocks = {i: self._parse_blocks(b)
+                                  for i, b in zip(big, blobs)}
+                _mark("frontend")
+                flat: list = []
+                spans: dict = {}
+                for i in big:
+                    spans[i] = (len(flat), len(per_src_blocks[i]))
+                    flat.extend(per_src_blocks[i])
+                bodies = self._emit_best_device(flat, stats=stats)
+                _t0 = _time.perf_counter()
+                for i in big:
+                    off, cnt = spans[i]
+                    results[i] = b"".join(bodies[off:off + cnt]) + eos
+                _mark("pack")
+                self.last_emission = "device"
+                return results
+            except Exception:
+                self.last_emission = "host-fallback"
+                for i in big:
+                    results[i] = native.encode_bytes(sources[i])
+                return results
 
         # gather every window of every big source, bucketed by padded size
         wins: list[tuple] = []  # (src_idx, base, ctx, n, N)
@@ -351,7 +418,6 @@ class TpuEncoder:
                 fwd_len=fwd_k[order], back_max=back_k[order])
         _mark("merge")
 
-        eos = C.MAGIC_EOS.to_bytes(4, "little")
         if self.device_emission:
             try:
                 # pool every source's blocks into ONE emission pass;
@@ -382,14 +448,10 @@ class TpuEncoder:
             results[i] = self._select_emit(sources[i], streams[i]) + eos
         return results
 
-    def _select_blocks(self, src: bytes, stream: MatchStream):
-        """Native selection + block splitting without emission: the raw
-        per-block contents the device emission plane consumes."""
-        from ..runtime import native
-
-        rows = np.stack([stream.pos, stream.match_pos, stream.fwd_len,
-                         stream.back_max], axis=1)
-        blob = native.select_blocks(src, rows)
+    @staticmethod
+    def _parse_blocks(blob: bytes):
+        """Raw block contents from a select_blocks/frontend_blocks blob:
+        [(lits u8[], rows3 int32[n,3], n_match_bytes), ...]."""
         blocks = []
         rec = np.dtype([("l", "<u2"), ("m", "<u2"), ("d", "<u4")])
         off = 0
@@ -405,6 +467,15 @@ class TpuEncoder:
                              axis=1).astype(np.int32)
             blocks.append((lits, rows3, int(n_mb)))
         return blocks
+
+    def _select_blocks(self, src: bytes, stream: MatchStream):
+        """Native selection + block splitting without emission: the raw
+        per-block contents the device emission plane consumes."""
+        from ..runtime import native
+
+        rows = np.stack([stream.pos, stream.match_pos, stream.fwd_len,
+                         stream.back_max], axis=1)
+        return self._parse_blocks(native.select_blocks(src, rows))
 
     def _emit_best_device(self, blocks, stats: dict | None = None) -> list:
         """Pooled device emission with the period-split decision
@@ -466,14 +537,25 @@ class TpuEncoder:
         nb = len(blocks)
         B = _bucket_pow2(nb, RE)
         n_cols = (C.LMDS_PER_BLOCK + SUPER - 1) // SUPER * SUPER  # 10112
+        try:
+            from ..runtime import native as _nat
+            if not _nat.available():
+                _nat = None
+        except Exception:
+            _nat = None
         weights_np = np.zeros((B, C.N_WEIGHTS), np.int64)
+        w_payloads: list = [b""] * nb
         litw = np.zeros((B, n_cols * 4), np.uint8)
         lit_num = np.zeros(B, np.int32)
         lmv = np.zeros((B, n_cols), np.int32)
         dv = np.zeros((B, n_cols), np.int32)
         lmd_num = np.zeros(B, np.int32)
         for i, (lits, rows3, _) in enumerate(blocks):
-            weights_np[i] = W.weights_from_block(rows3, lits)
+            if _nat is not None:
+                w16, w_payloads[i] = _nat.block_weights(rows3, lits)
+                weights_np[i] = w16
+            else:
+                weights_np[i] = W.weights_from_block(rows3, lits)
             n_lit = len(lits)
             pad = (-n_lit) % 4
             pad_byte = lits[0] if n_lit else np.uint8(0)
@@ -518,13 +600,18 @@ class TpuEncoder:
         mfs = np.asarray(mfs)[inv_m]
         _mark("emit_kernels")
 
+        try:
+            from ..runtime import native
+            pack = (native.pack_groups if native.available()
+                    else pack_group_stream)
+        except Exception:
+            pack = pack_group_stream
         out = []
         for i, (lits, rows3, n_mb) in enumerate(blocks):
             padded = int(lit_num[i])
             g = padded // 4
-            lit_pay, lit_off = pack_group_stream(glo[i], gmeta[i], g, 8)
-            lmd_pay, lmd_off = pack_group_stream(mlo[i], mmeta[i],
-                                                 int(lmd_num[i]), 22)
+            lit_pay, lit_off = pack(glo[i], gmeta[i], g, 8)
+            lmd_pay, lmd_off = pack(mlo[i], mmeta[i], int(lmd_num[i]), 22)
             lmd_pay = b"\x00" * 8 + lmd_pay
             lit_param = F.LiteralParam(
                 num=padded, n_payload_bytes=len(lit_pay), bits=lit_off,
@@ -536,7 +623,7 @@ class TpuEncoder:
                        int(mfs[i, 1]) - C.M_STATES,
                        int(mfs[i, 2]) - C.D_STATES))
             block = F.FseBlock(lit_param, lmd_param, len(lits) + n_mb)
-            weight_payload = W.store_v2(weights_np[i])
+            weight_payload = w_payloads[i] or W.store_v2(weights_np[i])
             out.append(b"".join((
                 F.store_v2_header(block, len(weight_payload)),
                 weight_payload, lit_pay, lmd_pay)))

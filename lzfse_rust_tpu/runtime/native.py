@@ -105,6 +105,17 @@ def _configure(lib) -> None:
     lib.tl_select_blocks.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
         ctypes.c_char_p, ctypes.c_size_t]
+    lib.tl_frontend_blocks.restype = ctypes.c_longlong
+    lib.tl_frontend_blocks.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t]
+    lib.tl_pack_groups.restype = ctypes.c_longlong
+    lib.tl_pack_groups.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_size_t]
+    lib.tl_block_weights.restype = ctypes.c_longlong
+    lib.tl_block_weights.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t]
     lib.tl_enc_new.restype = ctypes.c_void_p
     lib.tl_enc_new.argtypes = []
     lib.tl_enc_free.restype = None
@@ -346,6 +357,66 @@ def load_weights_v2(payload: bytes):
     if rc != 0:
         raise DecodeError(f"bad weight payload: {rc}")
     return w.astype(np.int64)
+
+
+def pack_groups(lo, meta, n_groups: int, shift: int) -> tuple[bytes, int]:
+    """Pack a device-emitted tANS group stream (see ops/fse_encode.
+    pack_group_stream) natively. Returns (payload bytes, leading pad bits)
+    exactly as pack_group_stream."""
+    import ctypes
+
+    import numpy as np
+    from ..base.errors import LzfseError
+    lib = _lib()
+    lo = np.ascontiguousarray(lo[:n_groups], np.int32)
+    meta = np.ascontiguousarray(meta[:n_groups], np.int32)
+    cap = n_groups * 8 + 16
+    out = ctypes.create_string_buffer(cap)
+    bits = lib.tl_pack_groups(
+        lo.ctypes.data_as(ctypes.c_void_p),
+        meta.ctypes.data_as(ctypes.c_void_p), n_groups, shift, out, cap)
+    if bits < 0:
+        raise LzfseError(f"pack_groups failed: {bits}")
+    n_bytes = (int(bits) + 7) // 8
+    return out.raw[:n_bytes], (8 - int(bits) % 8) % 8
+
+
+def block_weights(rows3, lits):
+    """Normalized weights (u16[N_WEIGHTS]) + V2 weight payload for one
+    block's raw contents — native histogram + normalize_m1 +
+    store_weights_v2 (byte-identical to spec.weights)."""
+    import ctypes
+
+    import numpy as np
+    from ..base.errors import LzfseError
+    lib = _lib()
+    rows = np.ascontiguousarray(rows3, np.int32)
+    lits = np.ascontiguousarray(lits, np.uint8)
+    w = np.zeros(104 + 256, np.uint16)
+    out = ctypes.create_string_buffer(712)
+    n = lib.tl_block_weights(
+        rows.ctypes.data_as(ctypes.c_void_p), rows.shape[0],
+        lits.ctypes.data_as(ctypes.c_char_p), lits.shape[0],
+        w.ctypes.data_as(ctypes.c_void_p), out, 712)
+    if n < 0:
+        raise LzfseError(f"block_weights failed: {n}")
+    return w, out.raw[:n]
+
+
+def frontend_blocks(src: bytes) -> bytes:
+    """Native frontend (match finding + selection + block splitting) to raw
+    block contents for the device emission plane. Same blob format as
+    select_blocks; ctypes releases the GIL, so per-source calls parallelize
+    across a thread pool."""
+    import ctypes
+    from ..base.errors import LzfseError
+    lib = _lib()
+    cap = len(src) + len(src) // 2 + 65536
+    out = ctypes.create_string_buffer(cap)
+    n = lib.tl_frontend_blocks(src, len(src), out, cap)
+    if n < 0:
+        raise LzfseError(f"frontend_blocks failed: {n}")
+    return out.raw[:n]
 
 
 def select_blocks(src: bytes, stream_rows):

@@ -2313,6 +2313,89 @@ long long tl_select_blocks(const char* src_c, size_t n,
   return (long long)out.size();
 }
 
+// Normalized weights + V2 weight payload for one block's raw contents —
+// the device emission plane's per-block host prep (histogram +
+// normalize_m1 + store_weights_v2 exactly as emit_into). rows are int32
+// (l, m, d-with-repeat-zeros) triples. Writes N_WEIGHTS u16 into w_out
+// and the payload into dst; returns payload bytes or -errcode.
+long long tl_block_weights(const int* rows, size_t n_lmd,
+                           const char* lits_c, size_t n_lit,
+                           unsigned short* w_out, char* dst, size_t cap) {
+  const uint8_t* lits = (const uint8_t*)lits_c;
+  uint16_t w[N_WEIGHTS];
+  memset(w, 0, sizeof w);
+  for (size_t i = 0; i < n_lmd; i++) {
+    w[DV.l_sym[(uint32_t)rows[i * 3]]]++;
+    w[20 + DV.m_sym[(uint32_t)rows[i * 3 + 1]]]++;
+    w[40 + DV.d_sym[d_index((uint32_t)rows[i * 3 + 2])]]++;
+  }
+  for (size_t i = 0; i < n_lit; i++) w[104 + lits[i]]++;
+  if (n_lmd) {
+    normalize_m1(w, 20, (int64_t)n_lmd, L_STATES);
+    normalize_m1(w + 20, 20, (int64_t)n_lmd, M_STATES);
+    normalize_m1(w + 40, 64, (int64_t)n_lmd, D_STATES);
+  }
+  if (n_lit) normalize_m1(w + 104, 256, (int64_t)n_lit, U_STATES);
+  memcpy(w_out, w, sizeof w);
+  uint8_t wbuf[V2_WEIGHTS_MAX];
+  size_t n_weights = store_weights_v2(w, wbuf);
+  if (n_weights > cap) return -E_CAP;
+  memcpy(dst, wbuf, n_weights);
+  return (long long)n_weights;
+}
+
+// Pack a device-emitted tANS group stream into payload bytes: per group,
+// value = lo (u32) | hi << 32 with n = meta >> shift total bits (n <= 54,
+// hi = meta & ((1<<shift)-1)). Sequential 64-bit accumulator bit writer
+// (the numpy bitwise_or.at scatter this replaces ran ~20M ops/s and
+// dominated the encode pack stage). Returns total BITS or -errcode.
+long long tl_pack_groups(const int* lo, const int* meta, size_t n,
+                         int shift, char* dst, size_t cap) {
+  uint64_t acc = 0;
+  int bits = 0;  // < 8 after each flush; nb <= 54 so acc use <= 61 bits
+  size_t w = 0;
+  const uint32_t hi_mask = (1u << shift) - 1;
+  long long total_bits = 0;
+  for (size_t i = 0; i < n; i++) {
+    uint64_t v = (uint32_t)lo[i]
+                 | ((uint64_t)((uint32_t)meta[i] & hi_mask) << 32);
+    int nb = (int)((uint32_t)meta[i] >> shift);
+    acc |= v << bits;
+    bits += nb;
+    total_bits += nb;
+    while (bits >= 8) {
+      if (w >= cap) return -E_CAP;
+      dst[w++] = (char)(acc & 0xFF);
+      acc >>= 8;
+      bits -= 8;
+    }
+  }
+  if (bits) {
+    if (w >= cap) return -E_CAP;
+    dst[w++] = (char)(acc & 0xFF);
+  }
+  return total_bits;
+}
+
+// Native frontend (history-table match finding + selection + block
+// splitting) straight to raw block contents for the device emission
+// plane: run_frontend with the dump backend. This is the serving-path
+// front half when device match finding is not profitable (XLA sorts
+// dominate it — see ops/match_find_tpu.py); emission still pools on
+// device. Byte-compatible with tl_select_blocks' blob format.
+long long tl_frontend_blocks(const char* src_c, size_t n, char* dst,
+                             size_t cap) {
+  std::vector<uint8_t> out;
+  out.reserve(n + n / 4 + 4096);
+  FseBackend* fb = new FseBackend();
+  fb->dump = &out;
+  run_frontend<FseBackend, false>((const uint8_t*)src_c, n, *fb);
+  delete fb;
+  if (out.size() > cap) return -E_CAP;
+  memcpy(dst, out.data(), out.size());
+  return (long long)out.size();
+}
+
 // LZ77 reconstruction from a flattened (l, m, d) row stream + literal pool
 // (the host half of the hybrid TPU decode: entropy on device, copy-back
 // here). Rows are int32 triples; returns bytes written or -errcode.

@@ -200,11 +200,14 @@ def test_tpu_encoder_device_emission_identity(monkeypatch):
     data = native.decode_bytes(
         pathlib.Path("/root/reference/data/snappy/html_x_4.lzfse")
         .read_bytes())[:300_000]
-    enc = TpuEncoder(device_emission=True)
-    got = enc.encode_bytes(data)
-    assert enc.last_emission == "device"
     want = FE.encode_bytes(data)
-    assert got == want
+    # both front ends: the serving default (native frontend + pooled
+    # device emission) and the fully offloaded device match finder
+    for fe in ("native", "device"):
+        enc = TpuEncoder(device_emission=True, frontend=fe)
+        got = enc.encode_bytes(data)
+        assert enc.last_emission == "device", (fe, enc.last_emission)
+        assert got == want, fe
 
 
 def test_tpu_encoder_device_emission_period_split(monkeypatch):

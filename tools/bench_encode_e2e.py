@@ -1,14 +1,17 @@
 """End-to-end TPU encode throughput: TpuEncoder.encode_many over the corpus.
 
+Measures the serving default: native GIL-free frontends pooled across host
+threads + ONE pooled device emission pass (emit_best variants included).
 Sum-model accounting, mirroring bench.py's decode methodology: host stages
 are wall-clocked from instrumented encode_many (2nd-smallest of RUNS warm
-runs — host-VM contention only ever adds time, CLAUDE.md); the two
-device-bound stages (window match finding, tANS emission kernels) are
-measured with in-jit repetition on their REAL inputs, because tunnel RTT
-and sub-MB/s downloads corrupt wall clock around device calls. Host<->
-device transfers are excluded exactly as in the decode bench; the
-count-bounded candidate download volume is reported so the PCIe-rate cost
-(~ms) is auditable.
+runs — host-VM contention only ever adds time, CLAUDE.md); the emission
+kernels are measured with in-jit repetition on their REAL blocks, because
+tunnel RTT and sub-MB/s downloads corrupt wall clock around device calls.
+Host<->device transfers are excluded exactly as in the decode bench.
+
+LZT_ENC_DEVFE=1 additionally measures the fully offloaded device-matchfind
+architecture (ops/match_find_tpu.py) — kept for hardware where XLA sort is
+not the bottleneck; on v5e its argsorts cap it ~5 MB/s/window.
 
 Outputs are verified byte-identical to the native engine in-bench, which
 (by the suite's invariants) equals the spec encoder at every size.
@@ -95,7 +98,8 @@ def device_matchfind_injit(enc, sources, big):
 
 def device_emission_injit(enc, sources, big):
     """In-jit repetition timing of the pooled emission plane (table build +
-    both Pallas reverse scans) on the batch's real blocks."""
+    both Pallas reverse scans) on the batch's real blocks — including the
+    emit_best alt variants the production pass pools in."""
     import jax
     import jax.numpy as jnp
     from lzfse_rust_tpu.models.encoder import _bucket_pow2
@@ -103,31 +107,16 @@ def device_emission_injit(enc, sources, big):
     from lzfse_rust_tpu.ops.pallas_encode import (R_ROWS as RE, SUPER,
                                                   encode_literals_pallas,
                                                   encode_lmds_pallas)
+    from lzfse_rust_tpu.spec import fse as FSE
     from lzfse_rust_tpu.spec import weights as W
-    from lzfse_rust_tpu.spec.match_find import _lcp_backward
-    from lzfse_rust_tpu.spec.match_find import MatchStream
 
-    # real blocks via the production path
-    wins = []
-    fulls = {i: np.frombuffer(sources[i], dtype=np.uint8) for i in big}
-    for i in big:
-        n_full = len(sources[i])
-        for start in range(0, n_full, WINDOW_STRIDE):
-            base, ctx, n, N = enc._window_geometry(n_full, start)
-            wins.append((i, base, ctx, n, N))
-    win_out = enc._windows_compact(fulls, wins, False)
     flat = []
     for i in big:
-        parts = [win_out[k] for k, w in enumerate(wins) if w[0] == i]
-        pos_k = np.concatenate([p for p, _, _ in parts])
-        cand_k = np.concatenate([c for _, c, _ in parts])
-        fwd_k = np.concatenate([f for _, _, f in parts])
-        back_k = _lcp_backward(fulls[i], pos_k, cand_k,
-                               np.minimum(cand_k, pos_k))
-        order = np.argsort(pos_k, kind="stable")
-        flat.extend(enc._select_blocks(sources[i], MatchStream(
-            pos=pos_k[order], match_pos=cand_k[order],
-            fwd_len=fwd_k[order], back_max=back_k[order])))
+        flat.extend(enc._parse_blocks(native.frontend_blocks(sources[i])))
+    for lits, rows3, n_mb in list(flat):
+        alt = FSE.period_split_rows(rows3)
+        if alt is not None:
+            flat.append((lits, alt, n_mb))
 
     nb = len(flat)
     B = _bucket_pow2(nb, RE)
@@ -206,32 +195,50 @@ def main():
         enc.encode_many(batch, stats=st)
         runs.append(st)
     low = lambda k: sorted(r.get(k, 0.0) for r in runs)[1]
-    host_keys = ("small", "win_prep", "arbitrate", "merge", "select",
-                 "emit_prep", "pack")
+    host_keys = ("small", "frontend", "emit_prep", "pack")
     host = {k: low(k) for k in host_keys}
     t_host = sum(host.values())
-    dl_bytes = int(runs[0].get("download_bytes", 0))
 
-    t_mf = device_matchfind_injit(enc, batch, big)
     t_em, nb = device_emission_injit(enc, batch, big)
-    t_full = t_host + t_mf + t_em
+    t_full = t_host + t_em
 
-    print(json.dumps({
+    out = {
         "metric": "snappy_full_encode_GBps_chip",
         "value": round(total_raw / t_full / 1e9, 4),
         "unit": "GB/s",
         "raw_bytes": total_raw,
         "n_sources": len(batch),
         "n_fse_blocks": nb,
+        "frontend": enc.frontend,
         "stages_s": {
             **{k: round(v, 4) for k, v in host.items()},
-            "matchfind_injit": round(t_mf, 4),
             "emit_kernels_injit": round(t_em, 4),
         },
-        "candidate_download_bytes": dl_bytes,
-        "wall_matchfind_s": round(low("matchfind"), 4),
         "wall_emit_kernels_s": round(low("emit_kernels"), 4),
-    }))
+    }
+    # the fully offloaded device-matchfind architecture, measured on
+    # request (kept for hardware where XLA sort is not the bottleneck)
+    if os.environ.get("LZT_ENC_DEVFE", "0") == "1":
+        enc_d = TpuEncoder(frontend="device")
+        runs_d = []
+        for _ in range(2):
+            st: dict = {}
+            enc_d.encode_many(batch, stats=st)
+            runs_d.append(st)
+        low_d = lambda k: sorted(r.get(k, 0.0) for r in runs_d)[0]
+        t_host_d = sum(low_d(k) for k in (
+            "small", "win_prep", "arbitrate", "merge", "select",
+            "emit_prep", "pack"))
+        t_mf = device_matchfind_injit(enc_d, batch, big)
+        out["device_frontend"] = {
+            "full_encode_GBps_chip": round(
+                total_raw / (t_host_d + t_mf + t_em) / 1e9, 4),
+            "matchfind_injit_s": round(t_mf, 4),
+            "host_s": round(t_host_d, 4),
+            "candidate_download_bytes": int(
+                runs_d[0].get("download_bytes", 0)),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
