@@ -1766,7 +1766,12 @@ static void run_frontend(const uint8_t* src, size_t n, Backend& backend) {
     backend.finalize();
     return;
   }
-  std::vector<History> table(1 << HASH_BITS);
+  // thread_local arena: a fresh 512KB vector per call costs ~128 page
+  // faults (5-10% of a 100KB-input encode); the re-init writes are cheap
+  // on warm pages. Bounded (one table per thread), so the streaming
+  // engines' constant-RSS contracts are unaffected.
+  static thread_local std::vector<History> table;
+  table.resize((size_t)1 << HASH_BITS);
   for (auto& h : table)
     for (auto& item : h.q) item = {0, (int32_t)0 - 0x40000000};
   const uint32_t max_d = VN ? 0xFFFF : MAX_D;
@@ -1783,7 +1788,7 @@ static void run_frontend(const uint8_t* src, size_t n, Backend& backend) {
   // index+PF is already in sequential source bytes, so its bucket address
   // is computable early; prefetching it hides the miss behind PF
   // iterations of work. Semantics-free: decisions never change.
-  constexpr size_t PF = 12;
+  constexpr size_t PF = 24;
 
   while (index < limit) {
     uint32_t val = rd32(src + index);
