@@ -51,6 +51,23 @@ def _bucket_pow2(x: int, lo: int = 4096) -> int:
     return 1 << (x - 1).bit_length()
 
 
+def _parallel_blocks(fn, n: int) -> None:
+    """Run fn(i) for i in range(n), fanning out across host threads when the
+    batch is big enough to amortize pool startup. Every fn writes only its
+    own index's slots, and the native per-block calls (tl_block_weights,
+    tl_pack_groups) release the GIL, so the hot work overlaps."""
+    if n < 16:
+        for i in range(n):
+            fn(i)
+        return
+    import concurrent.futures as _cf
+    import os as _os
+    workers = min(_os.cpu_count() or 1, 8)
+    with _cf.ThreadPoolExecutor(workers) as ex:
+        # list() propagates the first worker exception, matching serial
+        list(ex.map(fn, range(n)))
+
+
 class TpuEncoder:
     """Container encoder with device-side tANS block emission and a
     selectable match-finding front end.
@@ -550,7 +567,9 @@ class TpuEncoder:
         lmv = np.zeros((B, n_cols), np.int32)
         dv = np.zeros((B, n_cols), np.int32)
         lmd_num = np.zeros(B, np.int32)
-        for i, (lits, rows3, _) in enumerate(blocks):
+
+        def _stage_one(i):
+            lits, rows3, _ = blocks[i]
             if _nat is not None:
                 w16, w_payloads[i] = _nat.block_weights(rows3, lits)
                 weights_np[i] = w16
@@ -569,6 +588,11 @@ class TpuEncoder:
             lmv[i, n_cols - nr:] = rows3[:, 0] | (rows3[:, 1] << 16)
             dv[i, n_cols - nr:] = rows3[:, 2]
             lmd_num[i] = nr
+
+        # each block writes a disjoint row of the pooled arrays and the
+        # native histogram (tl_block_weights) releases the GIL, so blocks
+        # stage in parallel across the host cores
+        _parallel_blocks(_stage_one, nb)
 
         perm_l = np.argsort(-lit_num, kind="stable").astype(np.int32)
         perm_m = np.argsort(-lmd_num, kind="stable").astype(np.int32)
@@ -606,8 +630,10 @@ class TpuEncoder:
                     else pack_group_stream)
         except Exception:
             pack = pack_group_stream
-        out = []
-        for i, (lits, rows3, n_mb) in enumerate(blocks):
+        out: list = [b""] * nb
+
+        def _pack_one(i):
+            lits, rows3, n_mb = blocks[i]
             padded = int(lit_num[i])
             g = padded // 4
             lit_pay, lit_off = pack(glo[i], gmeta[i], g, 8)
@@ -624,9 +650,12 @@ class TpuEncoder:
                        int(mfs[i, 2]) - C.D_STATES))
             block = F.FseBlock(lit_param, lmd_param, len(lits) + n_mb)
             weight_payload = w_payloads[i] or W.store_v2(weights_np[i])
-            out.append(b"".join((
+            out[i] = b"".join((
                 F.store_v2_header(block, len(weight_payload)),
-                weight_payload, lit_pay, lmd_pay)))
+                weight_payload, lit_pay, lmd_pay))
+
+        # tl_pack_groups releases the GIL; blocks pack independently
+        _parallel_blocks(_pack_one, nb)
         _mark("pack")
         return out
 
