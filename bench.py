@@ -125,7 +125,8 @@ def _device_setup(srcs):
     # is the gathers + the two kernels.
     from lzfse_rust_tpu.runtime import native
     v_tabs = np.zeros((B, 384), np.int32)
-    u_tabs = np.zeros((B, 1024), np.int32)
+    u_tabs = np.zeros((B, 512), np.int32)
+    u_tot = np.zeros(B, np.int32)
     inv_l = np.argsort(perm_l).astype(np.int32)
     inv_m = np.argsort(perm_m).astype(np.int32)
     lens_l = np.array([len(d.lit_payload) for d in fse_blocks], np.int64)
@@ -133,7 +134,8 @@ def _device_setup(srcs):
     w16 = np.empty((nb, C.N_WEIGHTS), np.uint16)
     for i, d in enumerate(fse_blocks):
         w16[i] = d.weights
-    native.build_tables_batch(w16, inv_m[:nb], inv_l[:nb], v_tabs, u_tabs)
+    native.build_tables2_batch(w16, inv_m[:nb], inv_l[:nb], v_tabs, u_tabs,
+                               u_tot)
     AL = M._ALIGN
     cum = np.cumsum(np.concatenate((
         (lens_l + AL - 1) // AL, (lens_m + AL - 1) // AL)))
@@ -171,9 +173,10 @@ def _device_setup(srcs):
         lit_sh = jax.eval_shape(
             functools.partial(decode_literals_pallas,
                               n_steps=C.LITERALS_PER_BLOCK // 4),
-            jax.ShapeDtypeStruct((B, 1024), jnp.int32),
+            jax.ShapeDtypeStruct((B, 512), jnp.int32),
             jax.ShapeDtypeStruct((B, lw), jnp.int32),
-            *[jax.ShapeDtypeStruct((B, 128), jnp.int32)] * 3)[0]
+            *[jax.ShapeDtypeStruct((B, 128), jnp.int32)] * 3,
+            jax.ShapeDtypeStruct((B,), jnp.int32))[0]
         lmd_sh = jax.eval_shape(
             functools.partial(decode_lmds_pallas, n_steps=C.LMDS_PER_BLOCK),
             jax.ShapeDtypeStruct((B, 384), jnp.int32),
@@ -190,7 +193,7 @@ def _device_setup(srcs):
             jnp.asarray(start_l), jnp.asarray(start_m),
             vec(lit_states[perm_l]),
             vec(lmd_states[perm_m]), bc(lit_pos[perm_l]), bc(lmd_pos[perm_m]),
-            bc(lit_num[perm_l]), bc(lmd_num[perm_m]),
+            bc(lit_num[perm_l]), bc(lmd_num[perm_m]), jnp.asarray(u_tot),
             jnp.asarray(map_l), jnp.asarray(map_m))
     return args, dict(B=B, lw=lw, mw=mw, nb=nb)
 
@@ -212,7 +215,8 @@ def _device_time_injit(srcs):
     B, lw, mw = info["B"], info["lw"], info["mw"]
 
     @functools.partial(jax.jit, static_argnames="n_rep")
-    def pipe(UT, VT, CAT, SL, SM, LS, MS, LP, MP, LN, MN, ML, MM, n_rep):
+    def pipe(UT, VT, CAT, SL, SM, LS, MS, LP, MP, LN, MN, TOT, ML, MM,
+             n_rep):
         def gath(starts, w_words):
             idx = (starts[:, None]
                    + jnp.arange(w_words // 128, dtype=jnp.int32)[None, :])
@@ -228,7 +232,7 @@ def _device_time_injit(srcs):
             LW = gath(SL + r - r, lw)
             MW = gath(SM + r - r, mw)
             lits, lfs, _ = decode_literals_pallas(
-                UT + r - r, LW, LS, LP + r - r, LN,
+                UT + r - r, LW, LS, LP + r - r, LN, TOT,
                 C.LITERALS_PER_BLOCK // 4)
             lm, dd, mfs, _ = decode_lmds_pallas(
                 VT + r - r, MW, MS, MP + r - r, MN,

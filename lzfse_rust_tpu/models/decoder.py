@@ -204,7 +204,7 @@ def _prep_small(B: int):
     """Reusable host staging for the native-assisted pallas prep: per-block
     states/positions plus the packed decode tables (payload rows travel as
     a compact aligned cat + device row-gather, not as padded host rows)."""
-    key = ("small", B)
+    key = ("small2", B)
     bufs = _PREP_CACHE.get(key)
     if bufs is None:
         bufs = (np.zeros((B, 128), np.int32),   # lit states (lanes >=4 stay 0)
@@ -212,9 +212,10 @@ def _prep_small(B: int):
                 np.zeros(B, np.int32),          # lit pos
                 np.zeros(B, np.int32),          # lmd pos
                 np.zeros((B, 384), np.int32),   # packed v tables (sorted)
-                np.zeros((B, 1024), np.int32),  # packed u tables (sorted)
+                np.zeros((B, 512), np.int32),   # compact u2 tables (sorted)
                 np.zeros(B, np.int32),          # lit cat start chunks
-                np.zeros(B, np.int32))          # lmd cat start chunks
+                np.zeros(B, np.int32),          # lmd cat start chunks
+                np.zeros(B, np.int32))          # U totals (latch thresholds)
         _PREP_CACHE[key] = bufs
     return bufs
 
@@ -306,7 +307,8 @@ def _expand_smalls_fn():
         bm = jnp.broadcast_to(sm[:, 8:9], (B, 128))
         nl = jnp.broadcast_to(sm[:, 9:10], (B, 128))
         nm = jnp.broadcast_to(sm[:, 10:11], (B, 128))
-        return lit_states, lmd_states, bl, bm, nl, nm, sm[:, 11], sm[:, 12]
+        return (lit_states, lmd_states, bl, bm, nl, nm, sm[:, 11],
+                sm[:, 12], sm[:, 13])
     return go
 
 
@@ -482,11 +484,12 @@ class TpuDecoder:
             sl_n = inv_l[:nb]
             sm_n = inv_m[:nb]
             (_ls_unused, _lm_unused, _lp_unused, _mp_unused, v_tabs,
-             u_tabs, _s1_unused, _s2_unused) = _prep_small(B)
+             u_tabs, _s1_unused, _s2_unused, u_tot) = _prep_small(B)
             # table build (native, GIL-free) overlaps the payload gather
             import threading
-            th = threading.Thread(target=native_mod.build_tables_batch,
-                                  args=(w16, sm_n, sl_n, v_tabs, u_tabs))
+            th = threading.Thread(target=native_mod.build_tables2_batch,
+                                  args=(w16, sm_n, sl_n, v_tabs, u_tabs,
+                                        u_tot))
             th.start()
             lens_l = desc[:, 6].astype(np.int64)
             lens_m = desc[:, 8].astype(np.int64)
@@ -501,9 +504,11 @@ class TpuDecoder:
             cum = np.cumsum(ch)
             starts_all = np.concatenate(([0], cum[:-1])).astype(np.int32)
             stage = _cat_staging(int(cum[-1]) * _ALIGN)
+            _mark("prep_sort")  # sub-stage detail (prep = sum of prep_*)
             native_mod.gather_payloads(
                 sources, desc, starts_all[:nb].astype(np.int64) * _ALIGN,
                 starts_all[nb:].astype(np.int64) * _ALIGN, stage)
+            _mark("prep_gather")
             # the big stage upload proceeds on FOUR worker threads (the
             # host-side transfer copy scales with copy threads on this
             # memory-bandwidth-bound box: 1.6x at 2, ~2x at 4) while the
@@ -541,17 +546,23 @@ class TpuDecoder:
             small[:, 10] = lmdn_b[perm_m]
             small[sl_n, 11] = starts_all[:nb]
             small[sm_n, 12] = starts_all[nb:]
+            # latch thresholds (U-weight totals), main-thread numpy so the
+            # small pack never waits on the table-build worker
+            small[sl_n, 13] = w16[:, C.D_TOP:C.U_TOP].sum(
+                axis=1, dtype=np.int64).astype(np.int32)
             (lit_states_d, lmd_states_d, bl, bm, nl, nm, start_l_d,
-             start_m_d) = _expand_smalls_fn()(jnp.asarray(small))
+             start_m_d, tot_d) = _expand_smalls_fn()(jnp.asarray(small))
             gather = _gather_payload_fn()
+            _mark("prep_small")
             for t in ths_up:
                 t.join()
+            _mark("prep_upload")
             u_sorted, v_sorted = tab_box
             cat_dev = _concat_fn()(*cat_box)
             lit_words_dev = gather(cat_dev, start_l_d, w_words=lit_w_total)
             lmd_words_dev = gather(cat_dev, start_m_d, w_words=lmd_w_total)
             lit_pk, lit_fs128, lit_fp128 = decode_literals_pallas(
-                u_sorted, lit_words_dev, lit_states_d, bl, nl,
+                u_sorted, lit_words_dev, lit_states_d, bl, nl, tot_d,
                 C.LITERALS_PER_BLOCK // 4)
             lm_pk, d_pk, lmd_fs128, lmd_fp128 = decode_lmds_pallas(
                 v_sorted, lmd_words_dev, lmd_states_d, bm, nm,
@@ -573,7 +584,14 @@ class TpuDecoder:
             lit_c = compact(lit_pk, map_l_d)
             lm_c = compact(lm_pk, map_m_d)
             d_c = compact(d_pk, map_m_d)
-            _mark("prep")
+            _mark("prep_dispatch")
+            if stats is not None:
+                # fold the sub-segments into the headline "prep" stage and
+                # keep the per-call detail under its own key
+                det = {k: stats.pop(k) for k in list(stats)
+                       if k.startswith("prep_")}
+                stats["prep"] = stats.get("prep", 0.0) + sum(det.values())
+                stats["detail_prep"] = det
             dev = (lit_c, lm_c, d_c, lit_fs128, lit_fp128,
                    lmd_fs128, lmd_fp128, sl_n, sm_n, off_l, off_m)
         else:
@@ -753,7 +771,7 @@ class TpuDecoder:
             native_tables = _native_mod()
             if native_tables:
                 (lit_states, lmd_states, lit_pos, lmd_pos, v_tabs, u_tabs,
-                 start_l, start_m) = _prep_small(B)
+                 start_l, start_m, u_tot) = _prep_small(B)
                 sl_n = inv_l[:nb]
                 sm_n = inv_m[:nb]
                 lens_l = np.empty(nb, np.int64)
@@ -772,8 +790,8 @@ class TpuDecoder:
                     lit_bits[i] = blk.literal.bits
                     lmd_bits[i] = blk.lmd.bits
                     w16[i] = d.weights
-                native_tables.build_tables_batch(w16, sm_n, sl_n,
-                                                 v_tabs, u_tabs)
+                native_tables.build_tables2_batch(w16, sm_n, sl_n,
+                                                  v_tabs, u_tabs, u_tot)
                 # Payloads travel compact: each one padded to the 512-byte
                 # chunk grid in one flat cat, then a device row-gather
                 # expands chunks into the kernels' padded (B, w) rows.
@@ -844,6 +862,7 @@ class TpuDecoder:
             if native_tables:
                 u_sorted = jnp.asarray(u_tabs)
                 v_sorted = jnp.asarray(v_tabs)
+                tot_sorted = jnp.asarray(u_tot)
                 gather = _gather_payload_fn()
                 cat_dev = jnp.asarray(stage.view(np.int32).reshape(-1, 128))
                 lit_words_dev = gather(cat_dev, jnp.asarray(start_l),
@@ -851,16 +870,18 @@ class TpuDecoder:
                 lmd_words_dev = gather(cat_dev, jnp.asarray(start_m),
                                        w_words=lmd_w_total)
             else:
-                v_packed, v_base, u_packed = build_decode_tables(
+                from ..ops.table_build import build_decode_tables_v2
+                v_packed, u2, tot = build_decode_tables_v2(
                     jnp.asarray(weights))
-                u_sorted = take(u_packed, jnp.asarray(perm_l))
+                u_sorted = take(u2, jnp.asarray(perm_l))
                 v_sorted = take(v_packed, jnp.asarray(perm_m))
+                tot_sorted = jnp.take(tot, jnp.asarray(perm_l))
                 lit_words_dev = jnp.asarray(lit_words)
                 lmd_words_dev = jnp.asarray(lmd_words)
             lit_pk, lit_fs128, lit_fp128 = decode_literals_pallas(
                 u_sorted,
                 lit_words_dev, jnp.asarray(lit_states),
-                bcast(lit_pos), bcast(lit_num[perm_l]),
+                bcast(lit_pos), bcast(lit_num[perm_l]), tot_sorted,
                 C.LITERALS_PER_BLOCK // 4)
             lm_pk, d_pk, lmd_fs128, lmd_fp128 = decode_lmds_pallas(
                 v_sorted,

@@ -45,24 +45,32 @@ WINDOW_CAP = WINDOW_N - 128
 WINDOW_CTX = 1 << 18
 WINDOW_STRIDE = WINDOW_CAP - WINDOW_CTX - 3
 
+# reusable pooled emission staging, keyed by padded block count (see
+# _emit_blocks_device; decode_many's _PREP_CACHE is the same idiom)
+_EMIT_CACHE: dict = {}
+
 
 def _bucket_pow2(x: int, lo: int = 4096) -> int:
     x = max(x, lo)
     return 1 << (x - 1).bit_length()
 
 
-def _parallel_blocks(fn, n: int) -> None:
+def _parallel_blocks(fn, n: int, use_threads: bool = True) -> None:
     """Run fn(i) for i in range(n), fanning out across host threads when the
     batch is big enough to amortize pool startup. Every fn writes only its
     own index's slots, and the native per-block calls (tl_block_weights,
-    tl_pack_groups) release the GIL, so the hot work overlaps."""
-    if n < 16:
+    tl_pack_groups) release the GIL, so the hot work overlaps.
+    use_threads=False (no native runtime resolved) keeps the loop serial:
+    pure-Python/numpy bodies hold the GIL, so a pool only adds dispatch."""
+    if n < 16 or not use_threads:
         for i in range(n):
             fn(i)
         return
     import concurrent.futures as _cf
     import os as _os
-    workers = min(_os.cpu_count() or 1, 8)
+    # this is a shared 4-core box (CLAUDE.md); logical-CPU counts above 4
+    # only oversubscribe
+    workers = min(_os.cpu_count() or 1, 4)
     with _cf.ThreadPoolExecutor(workers) as ex:
         # list() propagates the first worker exception, matching serial
         list(ex.map(fn, range(n)))
@@ -560,13 +568,25 @@ class TpuEncoder:
                 _nat = None
         except Exception:
             _nat = None
-        weights_np = np.zeros((B, C.N_WEIGHTS), np.int64)
+        # cached staging: a fresh np.zeros of the ~60MB pooled arrays per
+        # call cost more than the native histograms. Stale content outside
+        # each block's right-justified active region is masked by the
+        # kernels (active = step < num), so only the per-block COUNTS need
+        # re-zeroing; weights rows of unused slots feed garbage tables
+        # whose outputs are never read (their step counts are zero).
+        bufs = _EMIT_CACHE.get(B)
+        if bufs is None:
+            bufs = (np.zeros((B, C.N_WEIGHTS), np.int64),
+                    np.zeros((B, n_cols * 4), np.uint8),
+                    np.zeros(B, np.int32),
+                    np.zeros((B, n_cols), np.int32),
+                    np.zeros((B, n_cols), np.int32),
+                    np.zeros(B, np.int32))
+            _EMIT_CACHE[B] = bufs
+        weights_np, litw, lit_num, lmv, dv, lmd_num = bufs
+        lit_num[:] = 0
+        lmd_num[:] = 0
         w_payloads: list = [b""] * nb
-        litw = np.zeros((B, n_cols * 4), np.uint8)
-        lit_num = np.zeros(B, np.int32)
-        lmv = np.zeros((B, n_cols), np.int32)
-        dv = np.zeros((B, n_cols), np.int32)
-        lmd_num = np.zeros(B, np.int32)
 
         def _stage_one(i):
             lits, rows3, _ = blocks[i]
@@ -591,8 +611,9 @@ class TpuEncoder:
 
         # each block writes a disjoint row of the pooled arrays and the
         # native histogram (tl_block_weights) releases the GIL, so blocks
-        # stage in parallel across the host cores
-        _parallel_blocks(_stage_one, nb)
+        # stage in parallel across the host cores (serial without the
+        # native runtime: the numpy fallback bodies hold the GIL)
+        _parallel_blocks(_stage_one, nb, use_threads=_nat is not None)
 
         perm_l = np.argsort(-lit_num, kind="stable").astype(np.int32)
         perm_m = np.argsort(-lmd_num, kind="stable").astype(np.int32)
@@ -655,7 +676,7 @@ class TpuEncoder:
                 weight_payload, lit_pay, lmd_pay))
 
         # tl_pack_groups releases the GIL; blocks pack independently
-        _parallel_blocks(_pack_one, nb)
+        _parallel_blocks(_pack_one, nb, use_threads=_nat is not None)
         _mark("pack")
         return out
 

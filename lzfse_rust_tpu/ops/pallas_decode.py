@@ -26,14 +26,18 @@ Layout (per grid step, R blocks = 8 sublane rows x G lane sections):
     batch actually contains near-cap payloads.
   - the step cost is gather-issue bound (~4 ns per (8,128) gather measured
     via tools/microbench_step.py), so the design minimizes gathers/step:
-      * literal U tables are SPLIT: halfword-packed (k | delta<<4) pairs
-        (512 words = 4 tiles) + byte-packed symbols (256 words = 2 tiles)
-        = 6 gathers/section vs 8 for full-word entries;
+      * literal U tables collapse to byte-packed symbols (256 words = 2
+        tiles) + ONE aux word per SYMBOL (2 tiles) from which (k, delta)
+        reconstruct arithmetically (_sym_aux_lookup; the identity
+        A + B == 2048 >> k0 recovers the shift) = 4 gathers/section vs 6
+        for the split per-state layout and 8 for full-word entries;
       * the backwards bitstream is read through a per-section COMPACTED
-        128-word window: at each EPOCH refresh the aligned 256-word slice
-        is gather-shifted so word i of tile c0 is stream word start+i (and
-        c1 holds start+1+i) — per-step word reads are then ONE gather each
-        instead of a 2-tile gather+select;
+        window: the LMD kernel keeps a word-granular 2-tile window (one
+        pull can span 33 bits), but the literal kernel compacts at
+        HALFWORD granularity — slot i holds the 32 bits at halfword
+        cstart16+i, so any <=17-bit pull is ONE gather (literal pulls are
+        <=10 bits); EPOCH_LIT=48 keeps an epoch's consumption inside the
+        128-slot coverage;
       * prefix/broadcast sums use independent roll trees (parallel rolls
         summed) rather than chained roll-accumulate — rolls are ~75 ns
         latency but overlap when independent.
@@ -63,7 +67,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..base import constants as C
 
-EPOCH = 64   # steps between chunk refreshes; 64*51 bits = 102 words < 126
+EPOCH = 64      # LMD steps between refreshes; 64*54 bits = 108 words < 126
+EPOCH_LIT = 48  # literal steps between refreshes; 48*40 bits = 120
+                # halfwords < 127 (the literal window is halfword-granular:
+                # one gather per read instead of a two-word funnel)
 R_SUB = 8    # sublane rows per grid step (one vreg)
 
 # Batch granularity: B must be a multiple of every possible R_SUB * G, so
@@ -124,54 +131,60 @@ def _lookup_sec(tab, state, n_states, g_sec, sec_id):
     return _bit_merge(secs, sec_id)
 
 
-def _split_lookup_sec(tab, state, g_sec, sec_id):
-    """Literal U lookup on the split-packed table: 6 gathers/section.
+def _sym_aux_lookup(u2, state, tot, g_sec, sec_id):
+    """Literal U lookup on the compact sym+aux table: 4 gathers/section.
 
-    Per section (768 words): columns [0, 512) hold halfword-packed
-    (k | delta<<4) pairs (entry i in halfword i&1 of word i>>1); columns
-    [512, 768) hold byte-packed symbols (entry i in byte i&3 of word
-    512 + (i>>2)). Returns (k, delta, sym)."""
-    kd_i = state >> 1
-    kd_lo = kd_i & 127
-    kd_hi = kd_i >> 7
-    sy_lo = (state >> 2) & 127
-    sy_hi = state >> 9
-    kd_secs = []
+    Per section (512 words): columns [0, 256) hold byte-packed symbols
+    (state i in byte i&3 of word i>>2); columns [256, 512) hold ONE aux
+    word per SYMBOL, (A+1022) | (B << 11) with A = f - base and
+    B = base + x (f = symbol weight, base = cumulative weight, x = head
+    length). (k, delta) reconstruct arithmetically from them:
+
+      A + B == 2048 >> k0          (exact, by the table-build identities)
+      head  == state < B
+      k     == head ? k0 : k0 - 1
+      delta == head ? ((state + A) << k0) - 1024 : (state - B) << (k0 - 1)
+
+    which reproduces the reference's per-state entries
+    (src/fse/decoder.rs:299-335) without a per-state (k, delta) table —
+    the lookup drops from 6 gathers/section (split kd+sym) to 4. k0 is
+    recovered from the power of two A + B via the float32 exponent.
+    States >= tot are latch entries (k=0, delta=state, sym=0;
+    decoder.rs:327-334). Returns (k, delta, sym)."""
+    si_lo = (state >> 2) & 127
+    si_hi = (state >> 9) & 1
     sy_secs = []
     for g in range(g_sec):
-        o = g * 768
-        chunks = [
-            jnp.take_along_axis(tab[:, o + c * 128:o + (c + 1) * 128],
-                                kd_lo, axis=1)
-            for c in range(4)]
-        kd_secs.append(_bit_merge(chunks, kd_hi))
-        sa = jnp.take_along_axis(tab[:, o + 512:o + 640], sy_lo, axis=1)
-        sb = jnp.take_along_axis(tab[:, o + 640:o + 768], sy_lo, axis=1)
-        sy_secs.append(jnp.where(sy_hi == 0, sa, sb))
-    kd = _bit_merge(kd_secs, sec_id)
+        o = g * 512
+        sa = jnp.take_along_axis(u2[:, o:o + 128], si_lo, axis=1)
+        sb = jnp.take_along_axis(u2[:, o + 128:o + 256], si_lo, axis=1)
+        sy_secs.append(jnp.where(si_hi == 0, sa, sb))
     sy = _bit_merge(sy_secs, sec_id)
-    kdv = (kd.astype(jnp.uint32)
-           >> ((state & 1) << 4).astype(jnp.uint32)).astype(jnp.int32)
     sym = (sy.astype(jnp.uint32)
            >> ((state & 3) << 3).astype(jnp.uint32)).astype(jnp.int32) & 255
-    return kdv & 15, (kdv >> 4) & 1023, sym
-
-
-def repack_u_split(u_packed):
-    """(B, 1024) full-word U entries (k | sym<<4 | delta<<12, int32) ->
-    (B, 768) split layout for _split_lookup_sec. Cheap XLA elementwise;
-    runs inside the jitted wrapper so callers keep the canonical format."""
-    B = u_packed.shape[0]
-    k = u_packed & 15
-    sym = (u_packed >> 4) & 255
-    delta = (u_packed >> 12) & 1023
-    kd = k | (delta << 4)
-    kd2 = kd.reshape(B, 512, 2)
-    kd_w = kd2[:, :, 0] | (kd2[:, :, 1] << 16)
-    sy4 = sym.reshape(B, 256, 4)
-    sy_w = (sy4[:, :, 0] | (sy4[:, :, 1] << 8)
-            | (sy4[:, :, 2] << 16) | (sy4[:, :, 3] << 24))
-    return jnp.concatenate([kd_w, sy_w], axis=1)
+    ax_lo = sym & 127
+    ax_hi = sym >> 7
+    ax_secs = []
+    for g in range(g_sec):
+        o = g * 512 + 256
+        aa = jnp.take_along_axis(u2[:, o:o + 128], ax_lo, axis=1)
+        ab = jnp.take_along_axis(u2[:, o + 128:o + 256], ax_lo, axis=1)
+        ax_secs.append(jnp.where(ax_hi == 0, aa, ab))
+    aux = _bit_merge(ax_secs, sec_id)
+    A = (aux & 2047) - 1022
+    Bv = (aux >> 11) & 2047
+    fexp = pltpu.bitcast((A + Bv).astype(jnp.float32), jnp.int32) >> 23
+    k0 = jnp.clip(138 - fexp, 0, 10)    # A + B == 2048 >> k0
+    head = state < Bv
+    k = jnp.maximum(jnp.where(head, k0, k0 - 1), 0)
+    delta = jnp.where(head,
+                      ((state + A) << k0) - 1024,
+                      (state - Bv) << jnp.maximum(k0 - 1, 0))
+    latch = state >= tot
+    k = jnp.where(latch, 0, k)
+    delta = jnp.where(latch, state, delta)
+    sym = jnp.where(latch, 0, sym)
+    return k, delta, sym
 
 
 def _chunk_word_c(chunk, widx, g_sec, sec_id, off):
@@ -199,6 +212,84 @@ def _extract_c(chunk, cstart, pos, n_bits, g_sec, sec_id):
     nb = n_bits.astype(jnp.uint32)
     bits = (val & ((jnp.uint32(1) << nb) - 1)).astype(jnp.int32)
     return jnp.where(pos < 0, 0, bits)
+
+
+def _cstart16(pos):
+    """Halfword-granularity window origin: the stream HALFWORD index that
+    compacted halfword-slot 0 maps to after a refresh at position `pos` —
+    126 halfwords below the current one (clipped at 0). One literal epoch
+    (EPOCH_LIT=48 steps x <= 40 bits) consumes <= 120 halfwords, so every
+    in-epoch read stays inside the 128-slot window."""
+    p = jnp.maximum(pos, 0)
+    return jnp.maximum((p >> 4) - 126, 0)
+
+
+def _chunk_word_h(chunk, hidx, g_sec, sec_id):
+    """Halfword-window read: ONE gather per section. Slot i of section g's
+    compacted tile holds the 32 stream bits starting at halfword
+    cstart16 + i, so any <= 17-bit field needs a single gather. hidx must
+    already be clipped to [0, 127]."""
+    return _bit_merge(
+        [jnp.take_along_axis(chunk[:, g * 256:g * 256 + 128], hidx, axis=1)
+         for g in range(g_sec)], sec_id)
+
+
+def _extract_h(chunk, cstart16, pos, n_bits, g_sec, sec_id):
+    """Extract n_bits (<= 17) at bit position pos through the halfword-
+    compacted window (zero when pos < 0, mirroring the reference's
+    below-buffer zero reads, src/bits/bit_src.rs:35-45)."""
+    p = jnp.maximum(pos, 0)
+    hidx = jnp.clip((p >> 4) - cstart16, 0, 127)
+    h = _chunk_word_h(chunk, hidx, g_sec, sec_id).astype(jnp.uint32)
+    sh = (p & 15).astype(jnp.uint32)
+    nb = n_bits.astype(jnp.uint32)
+    bits = ((h >> sh) & ((jnp.uint32(1) << nb) - 1)).astype(jnp.int32)
+    return jnp.where(pos < 0, 0, bits)
+
+
+def _refresh_compact_h(pos, win_ref, pos_s_ref, chunk_ref, g_sec, w_words):
+    """Reload + compact every (row, section) sliding window at HALFWORD
+    granularity: after the refresh, slot i of section g's 128-slot tile is
+    the 32-bit value at stream halfword cstart16 + i (straddling two words
+    when cstart16 + i is odd). Scalar stage as _refresh_compact (128-aligned
+    256-word raw slice into chunk_ref); the vector stage composes the
+    halfword-shifted view in place over the first 128 words."""
+    rs = pos_s_ref.shape[0]
+    sw = 128 // g_sec
+    pos_s_ref[:, :] = pos
+    for r in range(rs):
+        for g in range(g_sec):
+            p0 = jnp.maximum(pos_s_ref[r, g * sw], 0)
+            cs16 = jnp.maximum((p0 >> 4) - 126, 0)
+            base = jnp.clip((cs16 >> 1) & ~127, 0, w_words - 256)
+            src = pl.multiple_of(g * w_words + base, 128)
+            chunk_ref[pl.ds(r, 1), pl.ds(g * 256, 256)] = \
+                win_ref[pl.ds(r, 1), pl.ds(src, 256)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rs, 128), 1)
+    cs16_v = _cstart16(pos)
+    base_v = jnp.clip((cs16_v >> 1) & ~127, 0, w_words - 256)
+    o16_v = cs16_v - 2 * base_v  # valid at each section's lane 0
+    for g in range(g_sec):
+        og = jnp.take_along_axis(
+            o16_v, jnp.full((rs, 128), g * sw, jnp.int32), axis=1)
+        tA = chunk_ref[:, g * 256:g * 256 + 128]
+        tB = chunk_ref[:, g * 256 + 128:g * 256 + 256]
+        h = og + lane
+        w = h >> 1
+        w1 = w + 1
+        cw = jnp.where(w < 128,
+                       jnp.take_along_axis(tA, w & 127, axis=1),
+                       jnp.take_along_axis(tB, w & 127, axis=1))
+        cw1 = jnp.where(w1 < 128,
+                        jnp.take_along_axis(tA, w1 & 127, axis=1),
+                        jnp.take_along_axis(tB, w1 & 127, axis=1))
+        odd = (h & 1) == 1
+        comp = jnp.where(
+            odd,
+            ((cw.astype(jnp.uint32) >> 16)
+             | (cw1.astype(jnp.uint32) << 16)).astype(jnp.int32),
+            cw)
+        chunk_ref[:, g * 256:g * 256 + 128] = comp
 
 
 def _masked_roll(x, shift, glane):
@@ -268,7 +359,7 @@ def _literal_kernel(ns_ref, u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
                     out_ref, fs_ref, fpos_ref,
                     chunk_ref, pos_s_ref, s_c_ref, p_c_ref, *, g_sec,
                     w_words):
-    epoch = EPOCH
+    epoch = EPOCH_LIT
     sw = 128 // g_sec
     rs = s_init_ref.shape[0]
     n_st = epoch // sw  # output tiles stored per superepoch
@@ -277,6 +368,10 @@ def _literal_kernel(ns_ref, u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
     glane = lane & (sw - 1)
     sec_id = lane >> (sw.bit_length() - 1)
     num = num_ref[:, :]
+    # per-block latch threshold (U-weight total) rides in lanes 4..7 of the
+    # init-states input; broadcast it onto the 4 state lanes once
+    tot_v = jnp.where(glane < 4, _neg_roll(s_init_ref[:, :], 4),
+                      jnp.int32(0x7FFFFFFF))
     zero_acc = jnp.zeros((rs, 128), jnp.int32)
 
     @pl.when(se == 0)
@@ -296,15 +391,15 @@ def _literal_kernel(ns_ref, u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
 
         def body(carry):
             s, pos = carry
-            _refresh_compact(pos, win_ref, pos_s_ref, chunk_ref, g_sec,
-                             w_words)
-            cstart = _cstart(pos)
+            _refresh_compact_h(pos, win_ref, pos_s_ref, chunk_ref, g_sec,
+                               w_words)
+            cstart = _cstart16(pos)
             chunk = chunk_ref[:, :]
 
             def one_step(j, carry):
                 s, pos, acc = carry
-                k, delta, sym = _split_lookup_sec(u_tab_ref[:, :], s, g_sec,
-                                                  sec_id)
+                k, delta, sym = _sym_aux_lookup(u_tab_ref[:, :], s, tot_v,
+                                                g_sec, sec_id)
                 k = jnp.where(glane < 4, k, 0)
                 # independent roll trees: inclusive prefix over the 4
                 # stream lanes + section total broadcast to lanes 0..3
@@ -317,7 +412,7 @@ def _literal_kernel(ns_ref, u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
                 ksum = k + f1 + (f2 + f3)
                 t = ksum + b1 + (b2 + b3)
                 p_lane = pos - ksum
-                bits = _extract_c(chunk, cstart, p_lane, k, g_sec, sec_id)
+                bits = _extract_h(chunk, cstart, p_lane, k, g_sec, sec_id)
                 if masked:
                     active = ((se * epoch + j) * 4) < num
                     new_s = jnp.where(active, bits + delta, s)
@@ -369,7 +464,7 @@ def _literal_kernel(ns_ref, u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
         fpos_ref[:, :] = pos
 
 
-def _lmd_kernel(ns_ref, v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref,
+def _lmd_kernel(ns_ref, v_tab_ref, win_ref, s_init_ref, pos_ref,
                 num_ref, out_lm_ref, out_d_ref, fs_ref, fpos_ref,
                 chunk_ref, pos_s_ref, s_c_ref, p_c_ref, *, g_sec, w_words):
     sw = 128 // g_sec
@@ -379,7 +474,6 @@ def _lmd_kernel(ns_ref, v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (rs, 128), 1)
     glane = lane & (sw - 1)
     sec_id = lane >> (sw.bit_length() - 1)
-    d_base_row = d_base_ref[:, :]  # (rs, 128): lanes 0..63 = D_BASE_VALUE
     num = num_ref[:, :]
     zero_acc = jnp.zeros((rs, 128), jnp.int32)
 
@@ -405,9 +499,12 @@ def _lmd_kernel(ns_ref, v_tab_ref, d_base_ref, win_ref, s_init_ref, pos_ref,
                 nb = jnp.where(glane < 3, (ent >> 4) & 15, 0)
                 delta = (ent >> 8) & 0x1FF
                 # value base: packed inline for the L/M lanes; the D lane
-                # packs the D symbol, resolved via the shared 64-entry table
+                # packs the D symbol j, whose base follows the closed form
+                # base = ((4 + (j & 3)) << (j >> 2)) - 4 (extra bits
+                # e = j >> 2) — verified against D_BASE_VALUE, replacing
+                # the 64-entry table gather with three VPU ops
                 hi = (ent >> 17) & 0x7FFF
-                d_b = jnp.take_along_axis(d_base_row, hi & 63, axis=1)
+                d_b = ((4 + (hi & 3)) << jnp.minimum(hi >> 2, 15)) - 4
                 base = jnp.where(glane == 2, d_b, hi)
                 # stream order per lane i: pull k_i then nb_i, lanes 0,1,2.
                 # The pulls are bit-adjacent ([extra][state] upward), so one
@@ -518,31 +615,41 @@ def _widen(x, B, g_sec):
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps",))
-def decode_literals_pallas(u_tab, win_words, init_states, init_pos, num,
-                           n_steps: int):
+def decode_literals_pallas(u2, win_words, init_states, init_pos, num,
+                           tot, n_steps: int):
     """Batched 4-lane literal decode.
 
-    u_tab: (B, 1024) packed int32; win_words: (B, W) uint32 LE words of the
-    padded literal payload (W >= 256, >= payload words + 3 — the compacted
-    c1 tile reads one word past the 128-word coverage); init_states:
-    (B, 128) int32 (lanes 0..3, zeros elsewhere); init_pos/num: (B, 128)
-    int32 broadcast. B must be a multiple of R_ROWS. Returns (packed
-    literals (B, >=n_steps) int32, final_states (B, 128), final_pos
-    (B, 128))."""
+    u2: (B, 512) int32 compact table (byte-packed symbols + per-symbol aux
+    words — see table_build.build_decode_tables_v2); win_words: (B, W)
+    int32 LE words of the padded literal payload (W >= 256, >= payload
+    words + 3); init_states: (B, 128) int32 (lanes 0..3, zeros elsewhere);
+    init_pos/num: (B, 128) int32 broadcast; tot: (B,) int32 per-block
+    U-weight totals (states >= tot self-latch, decoder.rs:327-334). B must
+    be a multiple of R_ROWS. Returns (packed literals (B, >=n_steps) int32,
+    final_states (B, 128), final_pos (B, 128))."""
     B, W = win_words.shape
     assert B % R_ROWS == 0
     assert W >= 256
-    epoch = EPOCH
+    epoch = EPOCH_LIT
     RS, G = R_SUB, _pick_g(W, False)
     rows = RS * G
+    # rounded to 4 superepochs so the untangled width (n_se_max * 48) stays
+    # 64-word divisible for downstream row compaction; the extra
+    # superepochs never run (dynamic per-group trip counts). Single-epoch
+    # calls (tests, tiny streams) skip the rounding — nothing compacts them
     n_se_max = (n_steps + epoch - 1) // epoch
+    if n_steps > epoch:
+        n_se_max = -(-n_se_max // 4) * 4
     n_st = epoch // (128 // G)
     n_cols = n_se_max * n_st * 128
     grid = (B // rows, n_se_max)
     steps = (num[:, 0] + 3) // 4
     ns = _group_counts(steps, rows, n_se_max, epoch)
     ns_shape = (B // rows, 2)
-    u_split = repack_u_split(u_tab)
+    # latch threshold rides in lanes 4..7 of the states input
+    states_t = jax.lax.dynamic_update_slice(
+        init_states,
+        jnp.broadcast_to(tot.astype(jnp.int32)[:, None], (B, 4)), (0, 4))
     kernel = functools.partial(_literal_kernel, g_sec=G, w_words=W)
     out, fs, fp = pl.pallas_call(
         kernel,
@@ -550,7 +657,7 @@ def decode_literals_pallas(u_tab, win_words, init_states, init_pos, num,
         in_specs=[
             pl.BlockSpec(ns_shape, lambda g, se: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((RS, G * 768), lambda g, se: (g, 0),
+            pl.BlockSpec((RS, G * 512), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RS, G * W), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
@@ -580,8 +687,8 @@ def decode_literals_pallas(u_tab, win_words, init_states, init_pos, num,
             pltpu.VMEM((RS, 128), jnp.int32),
             pltpu.VMEM((RS, 128), jnp.int32),
         ],
-    )(ns, u_split.reshape(B // G, G * 768),
-      win_words.reshape(B // G, G * W), _to_sections(init_states, G),
+    )(ns, u2.reshape(B // G, G * 512),
+      win_words.reshape(B // G, G * W), _to_sections(states_t, G),
       _to_sections(init_pos, G), _to_sections(num, G))
     return (_untangle(out, B, G, n_se_max, epoch), _widen(fs, B, G),
             _widen(fp, B, G))
@@ -591,14 +698,10 @@ def decode_literals_pallas(u_tab, win_words, init_states, init_pos, num,
 def decode_lmds_pallas(v_tab, win_words, init_states, init_pos, num,
                        n_steps: int):
     """Batched 3-lane LMD decode. Shapes as decode_literals_pallas; v tables
-    are (B, 384) packed entries (value bases inline; the D lane resolves its
-    base through a broadcast 64-entry table). Returns (lm_packed (B,
-    >=n_steps) int32 = l | m << 16, d (B, >=n_steps) int32, final_states,
-    final_pos)."""
-    import numpy as _np
-
-    from ..base import constants as _C
-
+    are (B, 384) packed entries (value bases inline; the D lane packs the
+    D symbol, whose base the kernel derives arithmetically). Returns
+    (lm_packed (B, >=n_steps) int32 = l | m << 16, d (B, >=n_steps) int32,
+    final_states, final_pos)."""
     B, W = win_words.shape
     assert B % R_ROWS_LMD == 0
     assert W >= 256
@@ -609,9 +712,6 @@ def decode_lmds_pallas(v_tab, win_words, init_states, init_pos, num,
     n_cols = n_se_max * n_st * 128
     grid = (B // rows, n_se_max)
     ns = _group_counts(num[:, 0], rows, n_se_max)
-    d_base_host = _np.zeros((B // G, 128), _np.int32)
-    d_base_host[:, :_C.D_SYMBOLS] = _C.D_BASE_VALUE
-    d_base = jnp.asarray(d_base_host)
     ns_shape = (B // rows, 2)
     kernel = functools.partial(_lmd_kernel, g_sec=G, w_words=W)
     lm, dd, fs, fp = pl.pallas_call(
@@ -621,8 +721,6 @@ def decode_lmds_pallas(v_tab, win_words, init_states, init_pos, num,
             pl.BlockSpec(ns_shape, lambda g, se: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((RS, G * 384), lambda g, se: (g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((RS, 128), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RS, G * W), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
@@ -655,7 +753,7 @@ def decode_lmds_pallas(v_tab, win_words, init_states, init_pos, num,
             pltpu.VMEM((RS, 128), jnp.int32),
             pltpu.VMEM((RS, 128), jnp.int32),
         ],
-    )(ns, v_tab.reshape(B // G, G * 384), d_base,
+    )(ns, v_tab.reshape(B // G, G * 384),
       win_words.reshape(B // G, G * W), _to_sections(init_states, G),
       _to_sections(init_pos, G), _to_sections(num, G))
     return (_untangle(lm, B, G, n_se_max), _untangle(dd, B, G, n_se_max),

@@ -116,3 +116,49 @@ def build_decode_tables(weights: jnp.ndarray):
     v_packed = v_k | (v_bits << 4) | (v_delta << 8) | (v_hi << 17)
     u_packed = uk | (usym << 4) | (udelta << 12)
     return v_packed, v_base, u_packed
+
+
+@jax.jit
+def build_decode_tables_v2(weights: jnp.ndarray):
+    """weights: (B, 360) int32 -> (v_packed (B, 384), u2 (B, 512), tot (B,)).
+
+    u2 is the Pallas literal kernel's compact U-table layout:
+      words [0, 256):   byte-packed symbol per state (state i -> byte i&3 of
+                        word i>>2);
+      words [256, 512): per-SYMBOL aux words (A+1022) | (B << 11) with
+                        A = f - base, B = base + x, from which the kernel
+                        reconstructs (k, delta) arithmetically — the identity
+                        A + B = 2048 >> k0 makes k0 derivable, so the whole
+                        per-state (k, delta) table collapses to one aux word
+                        per symbol (see ops/pallas_decode.py _sym_aux_lookup).
+    tot is each block's normalized U-weight total; states >= tot are latch
+    states (self-latching, k=0 — src/fse/decoder.rs:286-291) and the kernel
+    overrides the arithmetic path for them.
+    """
+    _, u2, tot = _v2_parts(weights)
+    v_packed, _, _ = build_decode_tables(weights)
+    return v_packed, u2, tot
+
+
+@jax.jit
+def _v2_parts(weights: jnp.ndarray):
+    wu = weights[:, C.D_TOP:C.U_TOP].astype(jnp.int32)
+    B = wu.shape[0]
+    # symbol per state (sorted contiguous assignment), byte-packed
+    uk, usym, _, udelta = _build_block(
+        wu, C.U_STATES, 0,
+        jnp.arange(C.U_SYMBOLS, dtype=jnp.int32),
+        jnp.zeros(C.U_SYMBOLS, dtype=jnp.int32), 0, True)
+    s4 = usym.reshape(B, 256, 4)
+    sym_w = (s4[:, :, 0] | (s4[:, :, 1] << 8)
+             | (s4[:, :, 2] << 16) | (s4[:, :, 3] << 24))
+    # per-symbol aux, all elementwise in the symbol axis
+    f = wu
+    base = jnp.cumsum(f, axis=1) - f
+    k0 = 11 - _bit_length(jnp.maximum(f, 1))
+    x = ((C.U_STATES << 1) >> k0) - f
+    A = f - base
+    Bv = base + x
+    aux = (A + 1022) | (Bv << 11)
+    tot = jnp.sum(f, axis=1).astype(jnp.int32)
+    return uk, jnp.concatenate([sym_w, aux], axis=1).astype(jnp.int32), tot

@@ -128,9 +128,11 @@ def sharded_pallas_entropy_decode(mesh: Mesh, arrays: dict, n_lit_steps: int,
     mode by tests/test_parallel.py.
 
     `arrays` carries batch-leading device inputs in the kernels' shapes:
-    u_tabs (B, 1024), v_tabs (B, 384), lit_words/lmd_words (B, W) int32,
-    lit_states/lmd_states/lit_pos/lmd_pos/lit_num/lmd_num (B, 128) int32.
-    B must divide into mesh-size shards that are multiples of 128."""
+    u2_tabs (B, 512) compact literal tables, v_tabs (B, 384),
+    lit_words/lmd_words (B, W) int32, lit_states/lmd_states/lit_pos/
+    lmd_pos/lit_num/lmd_num (B, 128) int32, lit_tot (B,) int32 latch
+    thresholds. B must divide into mesh-size shards that are multiples
+    of 128."""
     from jax import shard_map
 
     from ..ops.pallas_decode import (decode_literals_pallas,
@@ -138,16 +140,17 @@ def sharded_pallas_entropy_decode(mesh: Mesh, arrays: dict, n_lit_steps: int,
 
     sh = shard_batch(mesh, axis)
     put = lambda x: jax.device_put(jnp.asarray(x), sh)
-    keys = ("u_tabs", "v_tabs", "lit_words", "lmd_words", "lit_states",
-            "lit_pos", "lit_num", "lmd_states", "lmd_pos", "lmd_num")
+    keys = ("u2_tabs", "v_tabs", "lit_words", "lmd_words", "lit_states",
+            "lit_pos", "lit_num", "lit_tot", "lmd_states", "lmd_pos",
+            "lmd_num")
 
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=tuple(P(axis) for _ in keys),
         out_specs=tuple(P(axis) for _ in range(7)),
         check_vma=False)
-    def run(ut, vt, lw, mw, ls, lp, ln, ms, mp, mn):
-        lits, lfs, lfp = decode_literals_pallas(ut, lw, ls, lp, ln,
+    def run(ut, vt, lw, mw, ls, lp, ln, lt, ms, mp, mn):
+        lits, lfs, lfp = decode_literals_pallas(ut, lw, ls, lp, ln, lt,
                                                 n_lit_steps)
         lm, dd, mfs, mfp = decode_lmds_pallas(vt, mw, ms, mp, mn,
                                               n_lmd_steps)

@@ -1980,7 +1980,7 @@ struct StreamEnc {
   size_t drain(uint8_t* dst, size_t cap) {
     size_t n = out.size() - out_off;
     if (n > cap) n = cap;
-    memcpy(dst, out.data() + out_off, n);
+    if (n) memcpy(dst, out.data() + out_off, n);  // data() may be null at n=0
     out_off += n;
     if (out_off == out.size()) { out.clear(); out_off = 0; }
     return n;
@@ -2635,6 +2635,75 @@ long long tl_scatter_rows(const char* cat, const long long* offs,
     char* row = dst + (size_t)slots[i] * row_stride;
     memcpy(row, cat + offs[i], len);
     memset(row + len, 0, 8);
+  }
+  return 0;
+}
+
+// Compact literal-table build (v2 layout consumed by the Pallas literal
+// kernel, ops/pallas_decode.py _sym_aux_lookup / table_build.py
+// build_decode_tables_v2): 256 words of byte-packed per-state symbols +
+// 256 per-SYMBOL aux words (A+1022) | (B << 11); (k, delta) reconstruct
+// arithmetically in-kernel, with states >= tot self-latching.
+static void build_u2_block(const uint16_t* w, int32_t* u2, int32_t* tot_out) {
+  int total = 0;
+  unsigned char syms[U_STATES];
+  for (int i = 0; i < 256; i++) {
+    int f = w[i];
+    int base = total;
+    if (f) {
+      int bl = 0, t = f;
+      while (t) { bl++; t >>= 1; }
+      int k0 = 11 - bl;
+      int x = ((U_STATES << 1) >> k0) - f;
+      int A = f - base;
+      int B = base + x;
+      u2[256 + i] = (A + 1022) | (B << 11);
+      for (int j = 0; j < f && base + j < U_STATES; j++)
+        syms[base + j] = (unsigned char)i;
+      total += f;
+    } else {
+      u2[256 + i] = 0;
+    }
+  }
+  if (total > U_STATES) total = U_STATES;
+  for (int s = total; s < U_STATES; s++) syms[s] = 0;
+  memcpy(u2, syms, U_STATES);
+  *tot_out = total;
+}
+
+long long tl_build_tables2(const unsigned short* w, int* v_packed,
+                           int* u2, int* tot) {
+  build_packed_block((const uint16_t*)w, 20, L_STATES, 0, L_EXTRA, L_BASE,
+                     false, false, v_packed);
+  build_packed_block((const uint16_t*)w + 20, 20, M_STATES, L_STATES,
+                     M_EXTRA, M_BASE, false, false, v_packed + L_STATES);
+  build_packed_block((const uint16_t*)w + 40, 64, D_STATES,
+                     L_STATES + M_STATES, D_EXTRA, D_BASE, false, true,
+                     v_packed + L_STATES + M_STATES);
+  build_u2_block((const uint16_t*)w + 104, u2, tot);
+  return 0;
+}
+
+long long tl_build_tables2_batch(const unsigned short* w, const int* slots_v,
+                                 const int* slots_u, size_t nb, int* v_all,
+                                 int* u2_all, int* tot_all) {
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt == 0) nt = 1;
+  if (nt > 8) nt = 8;
+  if (nb < 32) nt = 1;
+  auto work = [&](size_t t0) {
+    for (size_t i = t0; i < nb; i += nt)
+      tl_build_tables2(w + i * 360, v_all + (size_t)slots_v[i] * 384,
+                       u2_all + (size_t)slots_u[i] * 512,
+                       tot_all + slots_u[i]);
+  };
+  if (nt == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> th;
+    for (unsigned t = 1; t < nt; t++) th.emplace_back(work, t);
+    work(0);
+    for (auto& x : th) x.join();
   }
   return 0;
 }

@@ -43,7 +43,6 @@ def test_pallas_kernels_interpret_match_spec(block, monkeypatch):
     from jax.experimental import pallas as pl
 
     import lzfse_rust_tpu.ops.pallas_decode as P
-    from lzfse_rust_tpu.ops.table_build import build_decode_tables
     from lzfse_rust_tpu.spec import fse as F
     from lzfse_rust_tpu.spec import tables as T
 
@@ -56,8 +55,9 @@ def test_pallas_kernels_interpret_match_spec(block, monkeypatch):
     B = P.R_ROWS
     W = 512  # words; enough for this fixture's payloads
 
+    from lzfse_rust_tpu.ops.table_build import build_decode_tables_v2
     weights = np.tile(d.weights.astype(np.int32), (B, 1))
-    v_packed, v_base, u_packed = build_decode_tables(jnp.asarray(weights))
+    v_packed, u2, tot = build_decode_tables_v2(jnp.asarray(weights))
 
     def prep(payload, states, bits, num, n_states_off):
         p = np.zeros((B, W * 4), np.uint8)
@@ -74,7 +74,7 @@ def test_pallas_kernels_interpret_match_spec(block, monkeypatch):
                           d.block.literal.bits, d.block.literal.num,
                           (0, 0, 0, 0))
     n_steps = (d.block.literal.num + 3) // 4
-    lit_pk, fs, fp = P.decode_literals_pallas(u_packed, lw, ls, lp, ln,
+    lit_pk, fs, fp = P.decode_literals_pallas(u2, lw, ls, lp, ln, tot,
                                               n_steps)
     lit_pk = np.asarray(lit_pk)
     fs = np.asarray(fs)
@@ -267,3 +267,68 @@ def test_decode_many_pallas_path_interpret(monkeypatch):
     # second call reuses the cached staging buffers; results must not bleed
     got2 = dec.decode_many(list(reversed(srcs)))
     assert got2 == list(reversed(want))
+
+
+def test_pallas_literal_latch_states_interpret(monkeypatch):
+    """Adversarial weights whose U total is BELOW 1024 leave latch states
+    (k=0, sym=0, delta=state — decoder.rs:327-334). The literal kernel
+    reconstructs (k, delta) arithmetically from per-symbol aux words, so
+    the latch must come from the explicit state >= tot override; walk a
+    stream that starts INSIDE the latch region plus lanes that stay valid,
+    and require exact agreement with the spec tables' scalar walk."""
+    jnp = pytest.importorskip("jax.numpy")
+    from jax.experimental import pallas as pl
+
+    import lzfse_rust_tpu.ops.pallas_decode as P
+    from lzfse_rust_tpu.ops.table_build import build_decode_tables_v2
+    from lzfse_rust_tpu.spec import tables as T
+    from lzfse_rust_tpu.spec.bits import BitReader
+
+    real_call = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **k: real_call(*a, **{**k, "interpret": True}))
+
+    rng = np.random.default_rng(7)
+    w = np.zeros(360, np.int64)
+    w[:16] = 4            # L total 64
+    w[20:36] = 4          # M total 64
+    w[40:104] = 4         # D total 256
+    # U: total 512 < 1024 -> states 512..1023 are latch entries
+    w[104:104 + 64] = 8
+    tabs = T.DecoderTables(w)
+    payload = b"\x00" * 8 + rng.integers(0, 256, 64, np.uint8).tobytes()
+    num = 64
+    init = (700, 3, 130, 511)  # lane 0 latched from the start
+
+    # scalar oracle: the spec latch tables, raw walk (no validity raise)
+    reader = BitReader(payload, 0)
+    states = list(init)
+    want = np.empty(num, np.uint8)
+    for i in range(0, num, 4):
+        for lane in range(4):
+            k, sym, delta = tabs.u[states[lane]]
+            states[lane] = reader.pull(int(k)) + int(delta)
+            want[i + lane] = sym
+
+    B = P.R_ROWS
+    W = 512
+    weights = np.tile(w.astype(np.int32), (B, 1))
+    _vp, u2, tot = build_decode_tables_v2(jnp.asarray(weights))
+    assert int(np.asarray(tot)[0]) == 512
+    p = np.zeros((B, W * 4), np.uint8)
+    p[:, :len(payload)] = np.frombuffer(payload, np.uint8)
+    st = np.zeros((B, 128), np.int32)
+    st[:, :4] = init
+    lit_pk, fs, _fp = P.decode_literals_pallas(
+        u2, jnp.asarray(p.view("<i4").copy()), jnp.asarray(st),
+        jnp.asarray(np.full((B, 128), len(payload) * 8, np.int32)),
+        jnp.asarray(np.full((B, 128), num, np.int32)),
+        tot, (num + 3) // 4)
+    got = np.zeros(num, np.uint8)
+    pk = np.asarray(lit_pk)
+    for i in range(num // 4):
+        wd = pk[0, i]
+        got[4 * i:4 * i + 4] = [(wd >> s) & 0xFF for s in (0, 8, 16, 24)]
+    assert np.array_equal(got, want)
+    assert tuple(np.asarray(fs)[0, :4]) == tuple(states)

@@ -5,7 +5,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 os.environ["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jaxcache"
 import pathlib, time, numpy as np, jax, jax.numpy as jnp, functools
 import lzfse_rust_tpu.models.decoder as M
-from lzfse_rust_tpu.ops.table_build import build_decode_tables
+from lzfse_rust_tpu.ops.table_build import (build_decode_tables,
+                                            build_decode_tables_v2)
 from lzfse_rust_tpu.ops.pallas_decode import decode_literals_pallas, decode_lmds_pallas
 
 files = sorted(pathlib.Path("/root/reference/data/snappy").glob("*.lzfse"))
@@ -51,8 +52,9 @@ LN = bc(lit_num[perm_l]); MN = bc(lmd_num[perm_m])
 PL = jnp.asarray(perm_l); PM = jnp.asarray(perm_m)
 
 # precompute tables once for the kernel-only stages
-vp0, vb0, up0 = build_decode_tables(Wd)
+vp0, up0, tot0 = build_decode_tables_v2(Wd)
 UP = jnp.take(up0, PL, axis=0); VP = jnp.take(vp0, PM, axis=0)
+TOT = jnp.take(tot0, PL)
 UP.block_until_ready()
 
 @functools.partial(jax.jit, static_argnames="n_rep")
@@ -63,9 +65,10 @@ def tabs(Wd, n_rep):
     return jax.lax.fori_loop(0, n_rep, body, jnp.int32(0))
 
 @functools.partial(jax.jit, static_argnames="n_rep")
-def lits(UP, LW, LS, LP, LN, n_rep):
+def lits(UP, LW, LS, LP, LN, TOT, n_rep):
     def body(r, acc):
-        o, fs, fp = decode_literals_pallas(UP, LW, LS, LP + r - r, LN, 10000)
+        o, fs, fp = decode_literals_pallas(UP, LW, LS, LP + r - r, LN, TOT,
+                                           10000)
         return acc + jnp.sum(fs) + o[0, 0]
     return jax.lax.fori_loop(0, n_rep, body, jnp.int32(0))
 
@@ -87,7 +90,7 @@ def timeit(name, fn, args):
 
 print(f"B={B} raw={total_raw} lit_syms={total_lit} lmd_syms={total_lmd}", flush=True)
 pt = timeit("tables", tabs, (Wd,))
-plt_ = timeit("literals", lits, (UP, LW, LS, LP, LN))
+plt_ = timeit("literals", lits, (UP, LW, LS, LP, LN, TOT))
 pm = timeit("lmds", lmds, (VP, MW, MS, MP, MN))
 tot = pt + plt_ + pm
 print(f"total {tot*1000:.1f} ms -> {total_raw/tot/1e9:.2f} GB/s")

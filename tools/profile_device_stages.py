@@ -55,7 +55,8 @@ def make(pieces):
     """Build an in-jit repetition pipeline running the selected pieces."""
 
     @functools.partial(jax.jit, static_argnames="n_rep")
-    def pipe(UT, VT, CAT, SL, SM, LS, MS, LP, MP, LN, MN, ML, MM, n_rep):
+    def pipe(UT, VT, CAT, SL, SM, LS, MS, LP, MP, LN, MN, TOT, ML, MM,
+             n_rep):
         def gath(starts, w_words):
             idx = (starts[:, None]
                    + jnp.arange(w_words // 128, dtype=jnp.int32)[None, :])
@@ -77,7 +78,7 @@ def make(pieces):
                 acc = acc + jnp.sum(MW)
             if "lit" in pieces:
                 lits, lfs, _ = decode_literals_pallas(
-                    UT + r - r, LW, LS, LP + r - r, LN,
+                    UT + r - r, LW, LS, LP + r - r, LN, TOT,
                     C.LITERALS_PER_BLOCK // 4)
                 acc = acc + jnp.sum(lfs)
                 if "comp" in pieces:
