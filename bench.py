@@ -225,7 +225,7 @@ def _device_time_injit(srcs):
 
         def comp(x2d, rows_idx):
             Bx, n = x2d.shape
-            return jnp.take(x2d.reshape(Bx * (n // 64), 64), rows_idx,
+            return jnp.take(x2d.reshape(Bx * (n // 128), 128), rows_idx,
                             axis=0)
 
         def body(r, acc):
@@ -250,7 +250,7 @@ def _device_time_injit(srcs):
     f1(); f5()
     t = time.time(); f1(); t1 = time.time() - t
     t = time.time(); f5(); t5 = time.time() - t
-    return max((t5 - t1) / 4, 1e-9)
+    return max((t5 - t1) / 4, 1e-9), args, info
 
 
 def bench_tpu_full_decode():
@@ -282,9 +282,22 @@ def bench_tpu_full_decode():
     low = lambda k: sorted(r[k] for r in runs)[1]
     stats = {k: low(k) for k in ("parse", "prep", "flatten", "rebuild")}
     t_host = sum(stats.values())
-    t_dev = _device_time_injit(batch)
+    t_dev, dev_args, dev_info = _device_time_injit(batch)
     total_raw = sum(len(o) for o in outs)
     t_full = t_host + t_dev
+    det = runs[-1].get("detail_prep", {})
+    # Transfer accounting (VERDICT r3 #9): the tunneled harness cannot
+    # measure real PCIe (downloads run sub-MB/s through the link), so the
+    # bench reports the actual byte volumes the pipeline moves plus a
+    # MODELED transfer time at a stated PCIe gen3 x16 effective rate —
+    # labeled as modeled, not measured.
+    PCIE_GBPS = 12.0
+    up_bytes = sum(int(a.nbytes) for a in dev_args)  # shape math only
+    map_l, map_m = dev_args[-2], dev_args[-1]
+    B = dev_info["B"]
+    down_bytes = ((int(map_l.shape[0]) + 2 * int(map_m.shape[0])) * 128 * 4
+                  + 4 * B * 128 * 4)  # compacted rows + final states/pos
+    t_transfer = (up_bytes + down_bytes) / (PCIE_GBPS * 1e9)
     extra = {
         "parse_s": round(stats["parse"], 4),
         "prep_s": round(stats["prep"], 4),
@@ -294,6 +307,13 @@ def bench_tpu_full_decode():
         "blocks_in_flight": REPS * 35,
         "entropy_stage_GBps": round(total_raw / t_dev / 1e9, 4),
         "raw_bytes": total_raw,
+        "prep_detail_s": {k: round(v, 4) for k, v in det.items()},
+        # transfer-inclusive view (modeled PCIe — see comment above):
+        "transfer_bytes_up": up_bytes,
+        "transfer_bytes_down": down_bytes,
+        "pcie_model_GBps": PCIE_GBPS,
+        "full_decode_with_transfers_modeled_GBps": round(
+            total_raw / (t_full + t_transfer) / 1e9, 4),
     }
 
     return total_raw / t_full / 1e9, extra

@@ -178,6 +178,19 @@ def _substitute_jit(lmds):
 _PREP_CACHE: dict = {}
 _ALIGN = 512  # payload alignment in the flat upload cat (128 int32 words)
 
+_PREP_POOL = None
+
+
+def _prep_pool():
+    """Persistent worker pool for the prep stage's table-build + staged
+    upload tasks (fresh threading.Thread spawns cost ~0.5-1ms per call —
+    pure overhead at small serving batches)."""
+    global _PREP_POOL
+    if _PREP_POOL is None:
+        import concurrent.futures as _cf
+        _PREP_POOL = _cf.ThreadPoolExecutor(max_workers=6)
+    return _PREP_POOL
+
 # Uninitialized-bytes allocation + buffer address (CPython C API via
 # ctypes): lets the native rebuild fill final `bytes` results in place.
 import ctypes as _ct  # noqa: E402
@@ -350,17 +363,18 @@ def _compact_fn():
     @jax.jit
     def compact(x2d, rows_idx):
         B, n = x2d.shape
-        return jnp.take(x2d.reshape(B * (n // 64), 64), rows_idx, axis=0)
+        return jnp.take(x2d.reshape(B * (n // 128), 128), rows_idx, axis=0)
     return compact
 
 
 def _compact_map(used_words: "np.ndarray", n_cols: int):
     """Host-side map for _compact_fn: per sorted slot i, used_words[i]
-    words round up to ceil/64 64-word rows taken from that slot's padded
-    row. Returns (row index map padded to a 2048 bucket, per-slot dense
-    word offsets)."""
-    t = (used_words.astype(np.int64) + 63) // 64
-    rows_per = n_cols // 64
+    words round up to ceil/128 128-word rows taken from that slot's padded
+    row (wider rows halve the gather count vs 64-word rows at ~+2% padded
+    volume). Returns (row index map padded to a 2048 bucket, per-slot
+    dense word offsets)."""
+    t = (used_words.astype(np.int64) + 127) // 128
+    rows_per = n_cols // 128
     cum = np.cumsum(t)
     off = np.concatenate(([0], cum[:-1]))
     tot = int(cum[-1])
@@ -370,7 +384,7 @@ def _compact_map(used_words: "np.ndarray", n_cols: int):
     pad = _round_up(max(tot, 1), 2048)
     mp = np.zeros(pad, np.int32)
     mp[:tot] = m
-    return mp, (off * 64).astype(np.int64)
+    return mp, (off * 128).astype(np.int64)
 
 
 @functools.lru_cache(maxsize=1)
@@ -486,11 +500,9 @@ class TpuDecoder:
             (_ls_unused, _lm_unused, _lp_unused, _mp_unused, v_tabs,
              u_tabs, _s1_unused, _s2_unused, u_tot) = _prep_small(B)
             # table build (native, GIL-free) overlaps the payload gather
-            import threading
-            th = threading.Thread(target=native_mod.build_tables2_batch,
-                                  args=(w16, sm_n, sl_n, v_tabs, u_tabs,
-                                        u_tot))
-            th.start()
+            pool = _prep_pool()
+            fut_tabs = pool.submit(native_mod.build_tables2_batch,
+                                   w16, sm_n, sl_n, v_tabs, u_tabs, u_tot)
             lens_l = desc[:, 6].astype(np.int64)
             lens_m = desc[:, 8].astype(np.int64)
             # payload window widths bucketed to the batch maximum: smaller
@@ -519,20 +531,15 @@ class TpuDecoder:
             stage2d = stage.view(np.int32).reshape(-1, 128)
             UP_N = 4
             qrows = stage2d.shape[0] // UP_N
-            cat_box: list = [None] * UP_N
-            tab_box: list = [None, None]
-            ths_up = [
-                threading.Thread(
-                    target=lambda i=i, lo=i * qrows,
-                    hi=(i + 1) * qrows if i < UP_N - 1 else stage2d.shape[0]:
-                    cat_box.__setitem__(i, jnp.asarray(stage2d[lo:hi])))
+            futs_up = [
+                pool.submit(
+                    lambda lo, hi: jnp.asarray(stage2d[lo:hi]),
+                    i * qrows,
+                    (i + 1) * qrows if i < UP_N - 1 else stage2d.shape[0])
                 for i in range(UP_N)]
-            ths_up.append(threading.Thread(
-                target=lambda: (th.join(),
-                                tab_box.__setitem__(0, jnp.asarray(u_tabs)),
-                                tab_box.__setitem__(1, jnp.asarray(v_tabs)))))
-            for t in ths_up:
-                t.start()
+            fut_tab_up = pool.submit(
+                lambda: (fut_tabs.result(), jnp.asarray(u_tabs),
+                         jnp.asarray(v_tabs)))
             small = _small_staging(B)
             small[:] = 0
             small[sl_n, 0:4] = desc[:, 9:13]
@@ -554,10 +561,9 @@ class TpuDecoder:
              start_m_d, tot_d) = _expand_smalls_fn()(jnp.asarray(small))
             gather = _gather_payload_fn()
             _mark("prep_small")
-            for t in ths_up:
-                t.join()
+            cat_box = [f.result() for f in futs_up]
+            _, u_sorted, v_sorted = fut_tab_up.result()
             _mark("prep_upload")
-            u_sorted, v_sorted = tab_box
             cat_dev = _concat_fn()(*cat_box)
             lit_words_dev = gather(cat_dev, start_l_d, w_words=lit_w_total)
             lmd_words_dev = gather(cat_dev, start_m_d, w_words=lmd_w_total)

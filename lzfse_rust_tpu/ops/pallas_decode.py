@@ -358,8 +358,7 @@ def _refresh_compact(pos, win_ref, pos_s_ref, chunk_ref, g_sec, w_words):
 def _literal_kernel(ns_ref, u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
                     out_ref, fs_ref, fpos_ref,
                     chunk_ref, pos_s_ref, s_c_ref, p_c_ref, *, g_sec,
-                    w_words):
-    epoch = EPOCH_LIT
+                    w_words, epoch):
     sw = 128 // g_sec
     rs = s_init_ref.shape[0]
     n_st = epoch // sw  # output tiles stored per superepoch
@@ -466,10 +465,11 @@ def _literal_kernel(ns_ref, u_tab_ref, win_ref, s_init_ref, pos_ref, num_ref,
 
 def _lmd_kernel(ns_ref, v_tab_ref, win_ref, s_init_ref, pos_ref,
                 num_ref, out_lm_ref, out_d_ref, fs_ref, fpos_ref,
-                chunk_ref, pos_s_ref, s_c_ref, p_c_ref, *, g_sec, w_words):
+                chunk_ref, pos_s_ref, s_c_ref, p_c_ref, *, g_sec, w_words,
+                epoch):
     sw = 128 // g_sec
     rs = s_init_ref.shape[0]
-    n_st = EPOCH // sw
+    n_st = epoch // sw
     se = pl.program_id(1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (rs, 128), 1)
     glane = lane & (sw - 1)
@@ -529,7 +529,7 @@ def _lmd_kernel(ns_ref, v_tab_ref, win_ref, s_init_ref, pos_ref,
                     (both.astype(jnp.uint32) >> nbu).astype(jnp.int32))
                 value = base + vbits
                 if masked:
-                    active = (se * EPOCH + j) < num
+                    active = (se * epoch + j) < num
                     new_s = jnp.where(active, sbits + delta, s)
                     new_pos = jnp.where(active, pos - t, pos)
                     value = jnp.where(active, value, 0)
@@ -614,9 +614,9 @@ def _widen(x, B, g_sec):
     return jnp.pad(xb, ((0, 0), (0, 128 - sw)))
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps",))
+@functools.partial(jax.jit, static_argnames=("n_steps", "epoch"))
 def decode_literals_pallas(u2, win_words, init_states, init_pos, num,
-                           tot, n_steps: int):
+                           tot, n_steps: int, epoch: int = EPOCH_LIT):
     """Batched 4-lane literal decode.
 
     u2: (B, 512) int32 compact table (byte-packed symbols + per-symbol aux
@@ -630,16 +630,15 @@ def decode_literals_pallas(u2, win_words, init_states, init_pos, num,
     B, W = win_words.shape
     assert B % R_ROWS == 0
     assert W >= 256
-    epoch = EPOCH_LIT
     RS, G = R_SUB, _pick_g(W, False)
     rows = RS * G
-    # rounded to 4 superepochs so the untangled width (n_se_max * 48) stays
-    # 64-word divisible for downstream row compaction; the extra
+    # rounded to 8 superepochs so the untangled width (n_se_max * 48) stays
+    # 128-word divisible for downstream row compaction; the extra
     # superepochs never run (dynamic per-group trip counts). Single-epoch
     # calls (tests, tiny streams) skip the rounding — nothing compacts them
     n_se_max = (n_steps + epoch - 1) // epoch
     if n_steps > epoch:
-        n_se_max = -(-n_se_max // 4) * 4
+        n_se_max = -(-n_se_max // 8) * 8
     n_st = epoch // (128 // G)
     n_cols = n_se_max * n_st * 128
     grid = (B // rows, n_se_max)
@@ -650,7 +649,8 @@ def decode_literals_pallas(u2, win_words, init_states, init_pos, num,
     states_t = jax.lax.dynamic_update_slice(
         init_states,
         jnp.broadcast_to(tot.astype(jnp.int32)[:, None], (B, 4)), (0, 4))
-    kernel = functools.partial(_literal_kernel, g_sec=G, w_words=W)
+    kernel = functools.partial(_literal_kernel, g_sec=G, w_words=W,
+                               epoch=epoch)
     out, fs, fp = pl.pallas_call(
         kernel,
         grid=grid,
@@ -694,9 +694,9 @@ def decode_literals_pallas(u2, win_words, init_states, init_pos, num,
             _widen(fp, B, G))
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps",))
+@functools.partial(jax.jit, static_argnames=("n_steps", "epoch"))
 def decode_lmds_pallas(v_tab, win_words, init_states, init_pos, num,
-                       n_steps: int):
+                       n_steps: int, epoch: int = EPOCH):
     """Batched 3-lane LMD decode. Shapes as decode_literals_pallas; v tables
     are (B, 384) packed entries (value bases inline; the D lane packs the
     D symbol, whose base the kernel derives arithmetically). Returns
@@ -707,13 +707,18 @@ def decode_lmds_pallas(v_tab, win_words, init_states, init_pos, num,
     assert W >= 256
     RS, G = R_SUB, _pick_g(W, True)
     rows = RS * G
-    n_se_max = (n_steps + EPOCH - 1) // EPOCH
-    n_st = EPOCH // (128 // G)
+    # rounded to 2 superepochs (128-word-divisible width, as the literal
+    # wrapper); single-epoch calls skip it
+    n_se_max = (n_steps + epoch - 1) // epoch
+    if n_steps > epoch:
+        n_se_max = -(-n_se_max // 2) * 2
+    n_st = epoch // (128 // G)
     n_cols = n_se_max * n_st * 128
     grid = (B // rows, n_se_max)
-    ns = _group_counts(num[:, 0], rows, n_se_max)
+    ns = _group_counts(num[:, 0], rows, n_se_max, epoch)
     ns_shape = (B // rows, 2)
-    kernel = functools.partial(_lmd_kernel, g_sec=G, w_words=W)
+    kernel = functools.partial(_lmd_kernel, g_sec=G, w_words=W,
+                               epoch=epoch)
     lm, dd, fs, fp = pl.pallas_call(
         kernel,
         grid=grid,
@@ -756,5 +761,6 @@ def decode_lmds_pallas(v_tab, win_words, init_states, init_pos, num,
     )(ns, v_tab.reshape(B // G, G * 384),
       win_words.reshape(B // G, G * W), _to_sections(init_states, G),
       _to_sections(init_pos, G), _to_sections(num, G))
-    return (_untangle(lm, B, G, n_se_max), _untangle(dd, B, G, n_se_max),
+    return (_untangle(lm, B, G, n_se_max, epoch),
+            _untangle(dd, B, G, n_se_max, epoch),
             _widen(fs, B, G), _widen(fp, B, G))

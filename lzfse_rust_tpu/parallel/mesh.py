@@ -116,7 +116,8 @@ def sharded_match_find(mesh: Mesh, windows, n_real, vn: bool = False,
 
 
 def sharded_pallas_entropy_decode(mesh: Mesh, arrays: dict, n_lit_steps: int,
-                                  n_lmd_steps: int, axis: str = "blocks"):
+                                  n_lmd_steps: int, axis: str = "blocks",
+                                  epoch: int | None = None):
     """Multi-chip serving decode with the PRODUCTION kernels: the block
     batch shards across the mesh and every chip runs the Pallas tANS
     kernels (ops/pallas_decode) on its shard under shard_map — blocks are
@@ -150,10 +151,13 @@ def sharded_pallas_entropy_decode(mesh: Mesh, arrays: dict, n_lit_steps: int,
         out_specs=tuple(P(axis) for _ in range(7)),
         check_vma=False)
     def run(ut, vt, lw, mw, ls, lp, ln, lt, ms, mp, mn):
+        from ..ops.pallas_decode import EPOCH, EPOCH_LIT
+        ep_l = {} if epoch is None else {"epoch": min(epoch, EPOCH_LIT)}
+        ep_m = {} if epoch is None else {"epoch": min(epoch, EPOCH)}
         lits, lfs, lfp = decode_literals_pallas(ut, lw, ls, lp, ln, lt,
-                                                n_lit_steps)
+                                                n_lit_steps, **ep_l)
         lm, dd, mfs, mfp = decode_lmds_pallas(vt, mw, ms, mp, mn,
-                                              n_lmd_steps)
+                                              n_lmd_steps, **ep_m)
         return lits, lm, dd, lfs, lfp, mfs, mfp
 
     return run(*(put(arrays[k]) for k in keys))

@@ -48,7 +48,7 @@ for p in sorted(SNAPPY.glob("*.lzfse")):
         runs.append(st)
     low = lambda k: sorted(r[k] for r in runs)[1]
     t_host = sum(low(k) for k in ("parse", "prep", "flatten", "rebuild"))
-    t_dev = bench._device_time_injit(batch)
+    t_dev = bench._device_time_injit(batch)[0]
     total = raw_n * reps
     mbps = total / (t_host + t_dev) / 1e6
     ref = bench.REF_DECODE_MBPS.get(name)

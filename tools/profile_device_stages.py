@@ -64,7 +64,8 @@ def make(pieces):
 
         def comp(x2d, rows_idx):
             Bx, n = x2d.shape
-            return jnp.take(x2d.reshape(Bx * (n // 64), 64), rows_idx, axis=0)
+            return jnp.take(x2d.reshape(Bx * (n // 128), 128), rows_idx,
+                            axis=0)
 
         def body(r, acc):
             # full sums (not strided picks) so XLA cannot narrow the
