@@ -48,6 +48,9 @@ WINDOW_STRIDE = WINDOW_CAP - WINDOW_CTX - 3
 # reusable pooled emission staging, keyed by padded block count (see
 # _emit_blocks_device; decode_many's _PREP_CACHE is the same idiom)
 _EMIT_CACHE: dict = {}
+# staging pools for the fused native frontend+stage serving path
+# (_encode_many_staged), keyed by padded slot count
+_STAGE_CACHE: dict = {}
 
 
 def _bucket_pow2(x: int, lo: int = 4096) -> int:
@@ -382,13 +385,20 @@ class TpuEncoder:
         eos = C.MAGIC_EOS.to_bytes(4, "little")
 
         if self.frontend == "native" and self.device_emission:
-            # serving default: native GIL-free frontends across a host
-            # pool; every block of every source pools into ONE device
-            # emission pass (emit_best/period-split on device)
+            # serving default: fused native frontend+staging per source
+            # (tl_frontend_stage — match finding, selection, block split,
+            # weights, V2 weight payload, and pooled-array staging all in
+            # one GIL-free native pass), then ONE pooled device emission
+            # pass and native group packing
             import concurrent.futures as _cf
             import os as _os
 
             from ..runtime import native
+            try:
+                return self._encode_many_staged(sources, big, results,
+                                                stats)
+            except Exception:
+                pass
             try:
                 workers = min(len(big), _os.cpu_count() or 1)
                 with _cf.ThreadPoolExecutor(workers) as ex:
@@ -471,6 +481,156 @@ class TpuEncoder:
             self.last_emission = "host"
         for i in big:
             results[i] = self._select_emit(sources[i], streams[i]) + eos
+        return results
+
+    def _encode_many_staged(self, sources, big, results, stats=None):
+        """Serving encode path: per source, ONE fused native call runs the
+        history-table frontend and stages every closed block (plus its
+        period-split alt variant) directly into the pooled device-emission
+        arrays (native.frontend_stage — GIL-free, so staging overlaps
+        other sources' frontends across the host pool); then one pooled
+        device emission pass and native group packing. Byte-identical to
+        encode_bytes per source (reference hot loops:
+        src/encode/frontend_bytes.rs:160-244, src/fse/literals.rs:93-133).
+        Raises on any failure — encode_many falls back to the dump-blob
+        path."""
+        import concurrent.futures as _cf
+        import os as _os
+        import time as _time
+
+        import jax.numpy as jnp
+
+        from ..ops.fse_encode import build_encode_tables
+        from ..ops.pallas_encode import (R_ROWS as RE, SUPER,
+                                         encode_literals_pallas,
+                                         encode_lmds_pallas)
+        from ..runtime import native
+
+        _t0 = _time.perf_counter()
+
+        def _mark(key):
+            nonlocal _t0
+            t = _time.perf_counter()
+            if stats is not None:
+                stats[key] = stats.get(key, 0.0) + (t - _t0)
+            _t0 = t
+
+        n_cols = (C.LMDS_PER_BLOCK + SUPER - 1) // SUPER * SUPER
+        eos = C.MAGIC_EOS.to_bytes(4, "little")
+        # every closed block consumes >= 40000 source bytes (10000 rows of
+        # >= 4-byte matches, or the 40000-literal cap), +1 finalize block;
+        # the slack covers period-split alt slots (rare). On overflow the
+        # native call errors and we retry with a doubled pool.
+        bound = sum(len(sources[i]) // 40000 + 2 for i in big) + 32
+        while True:
+            B = _bucket_pow2(bound, RE)
+            bufs = _STAGE_CACHE.get(B)
+            if bufs is None:
+                bufs = (np.zeros((B, C.N_WEIGHTS), np.int64),
+                        np.zeros((B, n_cols * 4), np.uint8),
+                        np.zeros(B, np.int32),
+                        np.zeros((B, n_cols), np.int32),
+                        np.zeros((B, n_cols), np.int32),
+                        np.zeros(B, np.int32),
+                        np.zeros((B, 4), np.int32),
+                        np.zeros((B, 640), np.uint8),
+                        np.zeros(B, np.int32))
+                _STAGE_CACHE[B] = bufs
+            counter = np.zeros(1, np.int64)
+            out_lists = {i: np.zeros(len(sources[i]) // 40000 + 2,
+                                     np.int32) for i in big}
+            nb_of: dict = {}
+            try:
+                if len(big) > 1:
+                    workers = min(len(big), _os.cpu_count() or 1)
+                    with _cf.ThreadPoolExecutor(workers) as ex:
+                        for i, nbase in zip(big, ex.map(
+                                lambda i: native.frontend_stage(
+                                    sources[i], bufs, counter,
+                                    out_lists[i]), big)):
+                            nb_of[i] = nbase
+                else:
+                    for i in big:
+                        nb_of[i] = native.frontend_stage(
+                            sources[i], bufs, counter, out_lists[i])
+                break
+            except Exception:
+                if bound > (1 << 20):
+                    raise
+                bound *= 2
+        nb = int(counter[0])
+        _mark("frontend")
+
+        weights_np, litw, lit_num, lmv, dv, lmd_num, meta, wpay, \
+            wpay_len = bufs
+        B2 = _bucket_pow2(nb, RE)
+        # cache-reused pools carry stale counts above the used slots; the
+        # kernels mask stale CONTENT (active = step < num) but the counts
+        # drive the group metadata, so zero them
+        lit_num[nb:B2] = 0
+        lmd_num[nb:B2] = 0
+        ln2 = lit_num[:B2]
+        mn2 = lmd_num[:B2]
+        perm_l = np.argsort(-ln2, kind="stable").astype(np.int32)
+        perm_m = np.argsort(-mn2, kind="stable").astype(np.int32)
+        _mark("emit_prep")
+
+        e_l, e_m, e_d, e_u = build_encode_tables(
+            jnp.asarray(weights_np[:B2]))
+
+        def bc(x):
+            return jnp.asarray(
+                np.repeat(x[:, None], 128, 1).astype(np.int32))
+
+        words = jnp.asarray(litw[:B2].view("<i4"))
+        glo, gmeta, lfs = encode_literals_pallas(
+            jnp.take(e_u, jnp.asarray(perm_l), axis=0),
+            jnp.take(words, jnp.asarray(perm_l), axis=0),
+            bc(ln2[perm_l]), n_cols)
+        mlo, mmeta, mfs = encode_lmds_pallas(
+            jnp.take(e_l, jnp.asarray(perm_m), axis=0),
+            jnp.take(e_m, jnp.asarray(perm_m), axis=0),
+            jnp.take(e_d, jnp.asarray(perm_m), axis=0),
+            jnp.take(jnp.asarray(lmv[:B2]), jnp.asarray(perm_m), axis=0),
+            jnp.take(jnp.asarray(dv[:B2]), jnp.asarray(perm_m), axis=0),
+            bc(mn2[perm_m]), n_cols)
+        inv_l = np.argsort(perm_l)
+        inv_m = np.argsort(perm_m)
+        cc = lambda x, p: np.ascontiguousarray(np.asarray(x)[p], np.int32)
+        glo = cc(glo, inv_l)
+        gmeta = cc(gmeta, inv_l)
+        lfs = cc(lfs, inv_l)
+        mlo = cc(mlo, inv_m)
+        mmeta = cc(mmeta, inv_m)
+        mfs = cc(mfs, inv_m)
+        _mark("emit_kernels")
+
+        # one native call packs every slot's group streams AND assembles
+        # the complete Vx2 bodies, parallel across the worker pool
+        arena = _STAGE_CACHE.get(("arena", B2))
+        if arena is None:
+            arena = np.empty(B2 * native.PACK_SLOT_CAP, np.uint8)
+            _STAGE_CACHE[("arena", B2)] = arena
+        lens = np.zeros(max(nb, 1), np.int64)
+        native.pack_stage(glo, gmeta, mlo, mmeta, lfs, mfs, lit_num,
+                          lmd_num, meta, wpay, wpay_len, nb, arena, lens)
+        av = arena.view()
+        body = lambda s: av[s * native.PACK_SLOT_CAP:
+                            s * native.PACK_SLOT_CAP + int(lens[s])]
+        for i in big:
+            parts = []
+            for s in out_lists[i][:nb_of[i]]:
+                s = int(s)
+                a = body(s)
+                alt = int(meta[s, 2])
+                # emit_best: the strictly smaller variant wins, ties keep
+                # the as-is form
+                if alt >= 0 and int(lens[alt]) < len(a):
+                    a = body(alt)
+                parts.append(a)
+            results[i] = b"".join(parts) + eos
+        _mark("pack")
+        self.last_emission = "device"
         return results
 
     @staticmethod

@@ -112,10 +112,26 @@ def _configure(lib) -> None:
     lib.tl_frontend_blocks.restype = ctypes.c_longlong
     lib.tl_frontend_blocks.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t]
+    lib.tl_frontend_stage.restype = ctypes.c_longlong
+    lib.tl_frontend_stage.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,   # src, n
+        ctypes.c_void_p, ctypes.c_void_p,   # weights, litw
+        ctypes.c_void_p, ctypes.c_void_p,   # lit_num, lmv
+        ctypes.c_void_p, ctypes.c_void_p,   # dv, lmd_num
+        ctypes.c_void_p, ctypes.c_void_p,   # meta, wpay
+        ctypes.c_void_p,                    # wpay_len
+        ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_void_p,                    # counter
+        ctypes.c_void_p, ctypes.c_longlong]  # out_idx, out_cap
     lib.tl_pack_groups.restype = ctypes.c_longlong
     lib.tl_pack_groups.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
         ctypes.c_char_p, ctypes.c_size_t]
+    lib.tl_pack_stage.restype = ctypes.c_longlong
+    lib.tl_pack_stage.argtypes = (
+        [ctypes.c_void_p] * 11
+        + [ctypes.c_longlong] * 5
+        + [ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p])
     lib.tl_block_weights.restype = ctypes.c_longlong
     lib.tl_block_weights.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
@@ -438,6 +454,60 @@ def frontend_blocks(src: bytes) -> bytes:
     if n < 0:
         raise LzfseError(f"frontend_blocks failed: {n}")
     return out.raw[:n]
+
+
+def frontend_stage(src: bytes, bufs, counter, out_idx) -> int:
+    """Fused native frontend + device-emission staging for one source:
+    runs the history-table frontend and writes each closed block (and its
+    period-split alt variant, when eligible) directly into the pooled
+    staging arrays, reserving slots from the shared atomic `counter`.
+    `bufs` is the (weights, litw, lit_num, lmv, dv, lmd_num, meta, wpay,
+    wpay_len) tuple of C-contiguous numpy arrays; `out_idx` receives this
+    source's base-block slot indices in block order. Returns the number of
+    base blocks; raises LzfseError on pool overflow (caller retries with a
+    bigger pool). Releases the GIL — sources stage in parallel."""
+    import ctypes
+    from ..base.errors import LzfseError
+    weights, litw, lit_num, lmv, dv, lmd_num, meta, wpay, wpay_len = bufs
+    lib = _lib()
+    n = lib.tl_frontend_stage(
+        src, len(src),
+        weights.ctypes.data_as(ctypes.c_void_p),
+        litw.ctypes.data_as(ctypes.c_void_p),
+        lit_num.ctypes.data_as(ctypes.c_void_p),
+        lmv.ctypes.data_as(ctypes.c_void_p),
+        dv.ctypes.data_as(ctypes.c_void_p),
+        lmd_num.ctypes.data_as(ctypes.c_void_p),
+        meta.ctypes.data_as(ctypes.c_void_p),
+        wpay.ctypes.data_as(ctypes.c_void_p),
+        wpay_len.ctypes.data_as(ctypes.c_void_p),
+        lmv.shape[1], weights.shape[0], wpay.shape[1],
+        counter.ctypes.data_as(ctypes.c_void_p),
+        out_idx.ctypes.data_as(ctypes.c_void_p), out_idx.shape[0])
+    if n < 0:
+        raise LzfseError(f"frontend_stage failed: {n}")
+    return int(n)
+
+
+PACK_SLOT_CAP = 163840  # >= 32 + 640 + 8*10112 lit + 8 + 8*10000 lmd bytes
+
+
+def pack_stage(glo, gmeta, mlo, mmeta, lfs, mfs, lit_num, lmd_num, meta4,
+               wpay, wpay_len, n_slots, arena, lens):
+    """Batched pack + Vx2 body assembly for n_slots staged blocks into the
+    fixed-stride arena (PACK_SLOT_CAP bytes per slot); lens[s] = body
+    bytes. One native call, parallel across slots on the worker pool."""
+    import ctypes
+    from ..base.errors import LzfseError
+    lib = _lib()
+    vp = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    rc = lib.tl_pack_stage(
+        vp(glo), vp(gmeta), vp(mlo), vp(mmeta), vp(lfs), vp(mfs),
+        vp(lit_num), vp(lmd_num), vp(meta4), vp(wpay), vp(wpay_len),
+        n_slots, glo.shape[1], wpay.shape[1], lfs.shape[1], mfs.shape[1],
+        vp(arena), PACK_SLOT_CAP, vp(lens))
+    if rc != 0:
+        raise LzfseError(f"pack_stage failed: {rc}")
 
 
 def select_blocks(src: bytes, stream_rows):

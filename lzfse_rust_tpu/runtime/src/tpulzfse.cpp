@@ -2354,8 +2354,8 @@ long long tl_block_weights(const int* rows, size_t n_lmd,
 // hi = meta & ((1<<shift)-1)). Sequential 64-bit accumulator bit writer
 // (the numpy bitwise_or.at scatter this replaces ran ~20M ops/s and
 // dominated the encode pack stage). Returns total BITS or -errcode.
-long long tl_pack_groups(const int* lo, const int* meta, size_t n,
-                         int shift, char* dst, size_t cap) {
+static long long pack_groups_into(const int* lo, const int* meta, size_t n,
+                                  int shift, char* dst, size_t cap) {
   uint64_t acc = 0;
   int bits = 0;  // < 8 after each flush; nb <= 54 so acc use <= 61 bits
   size_t w = 0;
@@ -2393,6 +2393,92 @@ long long tl_pack_groups(const int* lo, const int* meta, size_t n,
   return total_bits;
 }
 
+long long tl_pack_groups(const int* lo, const int* meta, size_t n,
+                         int shift, char* dst, size_t cap) {
+  return pack_groups_into(lo, meta, n, shift, dst, cap);
+}
+
+// Batched pack + block assembly for the staged serving path: for every
+// slot, pack the device kernels' literal and LMD group streams into
+// payload bits and assemble the COMPLETE Vx2 block body (header, weight
+// payload, literal payload, 8-byte pad + LMD payload) into a fixed-stride
+// arena — one native call for the whole batch, parallel across slots on
+// the worker pool, in place of per-block ctypes pack calls + Python
+// header assembly. lens[slot] = body bytes (or negative errcode);
+// returns 0, or the first slot's error code if any slot failed.
+// Header layout mirrors FseBackend::emit_into / spec store_v2_header
+// (block.rs:168-196); byte-identical output is test-enforced.
+long long tl_pack_stage(const int* glo, const int* gmeta, const int* mlo,
+                        const int* mmeta, const int* lfs, const int* mfs,
+                        const int* lit_num, const int* lmd_num,
+                        const int* meta4, const char* wpay,
+                        const int* wpay_len, long long n_slots,
+                        long long n_cols, long long wpay_cap,
+                        long long lfs_stride, long long mfs_stride,
+                        char* arena, long long slot_cap, long long* lens) {
+  std::atomic<long long> next{0};
+  auto work = [&]() {
+    for (;;) {
+      long long s = next.fetch_add(1, std::memory_order_relaxed);
+      if (s >= n_slots) return;
+      uint8_t* p = (uint8_t*)arena + s * slot_cap;
+      long long cap = slot_cap;
+      int nw = wpay_len[s];
+      if (32 + nw > cap) { lens[s] = -E_CAP; continue; }
+      memcpy(p + 32, wpay + s * wpay_cap, (size_t)nw);
+      long long used = 32 + nw;
+      long long lit_bits = pack_groups_into(
+          glo + s * n_cols, gmeta + s * n_cols, (size_t)lit_num[s] / 4, 8,
+          (char*)p + used, (size_t)(cap - used));
+      if (lit_bits < 0) { lens[s] = lit_bits; continue; }
+      uint32_t lit_pay = (uint32_t)((lit_bits + 7) / 8);
+      int lit_off = (int)((8 - lit_bits % 8) % 8);
+      used += lit_pay;
+      if (used + 8 > cap) { lens[s] = -E_CAP; continue; }
+      memset(p + used, 0, 8);
+      long long lmd_bits = pack_groups_into(
+          mlo + s * n_cols, mmeta + s * n_cols, (size_t)lmd_num[s], 22,
+          (char*)p + used + 8, (size_t)(cap - used - 8));
+      if (lmd_bits < 0) { lens[s] = lmd_bits; continue; }
+      uint32_t lmd_pay = 8 + (uint32_t)((lmd_bits + 7) / 8);
+      int lmd_off = (int)((8 - lmd_bits % 8) % 8);
+      used += lmd_pay;
+      // Vx2 header (emit_into / block.rs:168-196); kernel final states
+      // arrive as raw table states, the header stores state - N_STATES
+      wr32(p, MAGIC_VX2);
+      wr32(p + 4, (uint32_t)meta4[s * 4] + (uint32_t)meta4[s * 4 + 1]);
+      const int* uf = lfs + s * lfs_stride;
+      const int* vf = mfs + s * mfs_stride;
+      uint64_t a = (uint64_t)(uint32_t)lit_num[s]
+                   | ((uint64_t)lit_pay << 20)
+                   | ((uint64_t)(uint32_t)lmd_num[s] << 40)
+                   | ((uint64_t)(7 - lit_off) << 60);
+      wr64(p + 8, a);
+      uint64_t b = (uint64_t)(uint32_t)(uf[0] - U_STATES)
+                   | ((uint64_t)(uint32_t)(uf[1] - U_STATES) << 10)
+                   | ((uint64_t)(uint32_t)(uf[2] - U_STATES) << 20)
+                   | ((uint64_t)(uint32_t)(uf[3] - U_STATES) << 30)
+                   | ((uint64_t)lmd_pay << 40)
+                   | ((uint64_t)(7 - lmd_off) << 60);
+      wr64(p + 16, b);
+      uint64_t c = (uint64_t)(uint32_t)(V2_HEADER + nw)
+                   | ((uint64_t)(uint32_t)(vf[0] - L_STATES) << 32)
+                   | ((uint64_t)(uint32_t)(vf[1] - M_STATES) << 42)
+                   | ((uint64_t)(uint32_t)(vf[2] - D_STATES) << 52);
+      wr64(p + 24, c);
+      lens[s] = used;
+    }
+  };
+  WorkerPool& pool = mt_pool();
+  std::lock_guard<std::mutex> serial(pool.serial);
+  pool.launch(work);
+  work();
+  pool.wait();
+  for (long long s = 0; s < n_slots; s++)
+    if (lens[s] < 0) return lens[s];
+  return 0;
+}
+
 // Native frontend (history-table match finding + selection + block
 // splitting) straight to raw block contents for the device emission
 // plane: run_frontend with the dump backend. This is the serving-path
@@ -2410,6 +2496,112 @@ long long tl_frontend_blocks(const char* src_c, size_t n, char* dst,
   if (out.size() > cap) return -E_CAP;
   memcpy(dst, out.data(), out.size());
   return (long long)out.size();
+}
+
+// Fused frontend + emission staging: one pass per source that runs the
+// history-table frontend AND writes each closed block straight into the
+// pooled device-emission staging arrays (normalized int64 weights row, V2
+// weight payload, right-justified literal words, packed l|m<<16 / d rows,
+// counts, and the period-split alt variant when eligible — the emit_best
+// decision's second candidate). Replaces the dump-blob serialize ->
+// Python parse -> numpy stage round trip of the previous serving path;
+// everything runs GIL-free inside the per-source host pool, so staging
+// fully overlaps other sources' frontends. Slots are reserved from a
+// shared atomic counter (completion order — the emission kernels are
+// order-independent; Python tracks each source's base-slot list).
+// Returns the number of BASE blocks (alt slots are referenced from
+// meta[slot].alt_idx) or -E_CAP when the pool or out_idx would overflow.
+struct StagePool {
+  long long* weights;  // [B][N_WEIGHTS] int64
+  uint8_t* litw;       // [B][n_cols*4] right-justified literal bytes
+  int* lit_num;        // [B] padded literal counts
+  int* lmv;            // [B][n_cols] l | m<<16, right-justified
+  int* dv;             // [B][n_cols] stored d (repeat-zeroed)
+  int* lmd_num;        // [B]
+  int* meta;           // [B][4]: n_lit_raw, n_match_bytes, alt_idx, 0
+  char* wpay;          // [B][wpay_cap] V2 weight payload
+  int* wpay_len;       // [B]
+  long long n_cols, B, wpay_cap;
+  long long* counter;  // shared atomic slot counter
+  bool overflow = false;
+};
+
+static void stage_block(StagePool& P, long long slot, const uint8_t* lits,
+                        int n_lit, const FseBackend::Lmd* lmds, int n_lmd,
+                        uint32_t n_match_bytes, int alt_idx) {
+  uint16_t w[N_WEIGHTS];
+  memset(w, 0, sizeof w);
+  const long long nc = P.n_cols;
+  int* lmv = P.lmv + slot * nc;
+  int* dvp = P.dv + slot * nc;
+  const long long base = nc - n_lmd;
+  for (int i = 0; i < n_lmd; i++) {
+    uint32_t l = lmds[i].l, m = lmds[i].m, d = lmds[i].d;
+    w[DV.l_sym[l]]++;
+    w[20 + DV.m_sym[m]]++;
+    w[40 + DV.d_sym[d_index(d)]]++;
+    lmv[base + i] = (int)(l | (m << 16));
+    dvp[base + i] = (int)d;
+  }
+  for (int i = 0; i < n_lit; i++) w[104 + lits[i]]++;
+  if (n_lmd) {
+    normalize_m1(w, 20, n_lmd, L_STATES);
+    normalize_m1(w + 20, 20, n_lmd, M_STATES);
+    normalize_m1(w + 40, 64, n_lmd, D_STATES);
+  }
+  if (n_lit) normalize_m1(w + 104, 256, n_lit, U_STATES);
+  long long* wrow = P.weights + slot * N_WEIGHTS;
+  for (int k = 0; k < N_WEIGHTS; k++) wrow[k] = w[k];
+  uint8_t wbuf[V2_WEIGHTS_MAX];
+  size_t nw = store_weights_v2(w, wbuf);
+  memcpy(P.wpay + slot * P.wpay_cap, wbuf, nw);
+  P.wpay_len[slot] = (int)nw;
+  const int pad = (4 - (n_lit & 3)) & 3;
+  const int g = (n_lit + pad) / 4;
+  uint8_t* lrow = P.litw + slot * (nc * 4);
+  const long long start = nc * 4 - (long long)g * 4;
+  memcpy(lrow + start, lits, (size_t)n_lit);
+  for (int i = 0; i < pad; i++)
+    lrow[start + n_lit + i] = n_lit ? lits[0] : 0;
+  P.lit_num[slot] = n_lit + pad;
+  P.lmd_num[slot] = n_lmd;
+  int* mrow = P.meta + slot * 4;
+  mrow[0] = n_lit;
+  mrow[1] = (int)n_match_bytes;
+  mrow[2] = alt_idx;
+  mrow[3] = 0;
+}
+
+long long tl_frontend_stage(const char* src_c, size_t n, long long* weights,
+                            unsigned char* litw, int* lit_num, int* lmv,
+                            int* dv, int* lmd_num, int* meta, char* wpay,
+                            int* wpay_len, long long n_cols, long long B,
+                            long long wpay_cap, long long* counter,
+                            int* out_idx, long long out_cap) {
+  StagePool P{weights,  litw, lit_num, lmv,      dv,      lmd_num, meta,
+              wpay,     wpay_len, n_cols, B, wpay_cap, counter};
+  long long n_base = 0;
+  std::vector<FseBackend::Lmd> altv;
+  FseBackend fb;
+  fb.on_block = [&](FseBackend& b) {
+    if (P.overflow) return;
+    bool has_alt = FseBackend::period_split(b.lmds, b.n_lmd, altv);
+    long long slots = has_alt ? 2 : 1;
+    long long s = __atomic_fetch_add(counter, slots, __ATOMIC_RELAXED);
+    if (s + slots > B || n_base >= out_cap) {
+      P.overflow = true;
+      return;
+    }
+    stage_block(P, s, b.lits, b.n_lit, b.lmds, b.n_lmd, b.n_match_bytes,
+                has_alt ? (int)(s + 1) : -1);
+    if (has_alt)
+      stage_block(P, s + 1, b.lits, b.n_lit, altv.data(), (int)altv.size(),
+                  b.n_match_bytes, -1);
+    out_idx[n_base++] = (int)s;
+  };
+  run_frontend<FseBackend, false>((const uint8_t*)src_c, n, fb);
+  if (P.overflow) return -E_CAP;
+  return n_base;
 }
 
 // LZ77 reconstruction from a flattened (l, m, d) row stream + literal pool

@@ -110,3 +110,34 @@ def test_encode_many_matches_encode_bytes():
     got = enc.encode_many(sources)
     for s, g in zip(sources, got):
         assert g == enc.encode_bytes(s)
+
+
+def test_staged_serving_path_byte_identity(snappy_dir, monkeypatch):
+    """The fused native frontend+staging serving path (tl_frontend_stage +
+    pooled emission kernels + tl_pack_stage) must be byte-identical to the
+    native/spec encoders, including a period-split (emit_best alt-variant)
+    source. Kernels run in interpret mode on the CPU backend."""
+    from jax.experimental import pallas as pl
+
+    from lzfse_rust_tpu.base import constants as C
+    from lzfse_rust_tpu.models.encoder import TpuEncoder
+    from lzfse_rust_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime not built")
+    real_call = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **k: real_call(*a, **{**k, "interpret": True}))
+
+    html = native.decode_bytes((snappy_dir / "html.lzfse").read_bytes())
+    rng = np.random.default_rng(7)
+    pat = rng.integers(0, 256, 13, dtype=np.uint8).tobytes()
+    reps = (pat * (45000 // 13 + 1))[:45000]  # period-13: alt eligible
+    srcs = [html[:50000], reps]
+    big = [i for i, s in enumerate(srcs) if len(s) > C.VN_CUTOFF]
+    enc = TpuEncoder(device_emission=True, frontend="native")
+    results: list = [None] * len(srcs)
+    out = enc._encode_many_staged(srcs, big, results)
+    for i in big:
+        assert out[i] == native.encode_bytes(srcs[i]), i
