@@ -15,6 +15,9 @@
 
 #include <algorithm>
 #include <cstdint>
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 #include <cstring>
 #include <atomic>
 #include <condition_variable>
@@ -1394,6 +1397,14 @@ static inline size_t lcp_fwd(const uint8_t* s, size_t i, size_t j, size_t len, s
 
 static inline size_t lcp_bwd(const uint8_t* s, size_t i, size_t j, size_t max) {
   size_t len = 0;
+  // word-at-a-time backwards: compare the 8 bytes ENDING at i-len/j-len
+  // (reads stay inside the buffer: i-len-8 >= i-max-8 >= 0 is guaranteed
+  // by max <= min(i, j) - 0 only when both have 8 bytes of headroom)
+  while (len + 8 <= max) {
+    uint64_t x = rd64(s + i - len - 8) ^ rd64(s + j - len - 8);
+    if (x) return len + (__builtin_clzll(x) >> 3);
+    len += 8;
+  }
   while (len < max && s[i - len - 1] == s[j - len - 1]) len++;
   return len;
 }
@@ -1789,6 +1800,10 @@ static void run_frontend(const uint8_t* src, size_t n, Backend& backend) {
   // is computable early; prefetching it hides the miss behind PF
   // iterations of work. Semantics-free: decisions never change.
   constexpr size_t PF = 24;
+  // int32 distance math is exact below 1 GiB (table init pos -2^30);
+  // larger windows take the scalar int64 probe path
+  const bool narrow = n < ((size_t)1 << 30);
+  (void)narrow;
 
   while (index < limit) {
     uint32_t val = rd32(src + index);
@@ -1809,21 +1824,64 @@ static void run_frontend(const uint8_t* src, size_t n, Backend& backend) {
     if ((int64_t)index - bucket.q[0].pos > (int64_t)max_d) {
       bucket.q[0] = {val, (int32_t)index};
     } else {
-      History copy = bucket;
-      for (int i = HASH_WIDTH - 1; i > 0; i--) bucket.q[i] = bucket.q[i - 1];
-      bucket.q[0] = {val, (int32_t)index};
-      for (int i = 0; i < HASH_WIDTH; i++) {
-        int64_t dist = (int64_t)index - copy.q[i].pos;
-        if (dist > (int64_t)max_d) break;
-        uint32_t x = val ^ copy.q[i].val;
-        uint32_t len;
-        if (x == 0) {
-          len = (uint32_t)lcp_fwd(src, index, (size_t)copy.q[i].pos, 4,
-                                  n - index);
-        } else if (VN && (x & unit_mask) == 0) {
-          len = 3;
-        } else continue;
-        if (len > inc.len) { inc.len = len; inc.midx = (size_t)copy.q[i].pos; }
+#if defined(__AVX2__)
+      // Branchless probe (FSE unit only; positions must fit int32 math —
+      // index < 2^30 with the -2^30 table init keeps dist < 2^31).
+      // Probing ALL in-range equal entries instead of breaking at the
+      // first out-of-range one is exact: bucket positions are newest-
+      // first monotonic, so everything past an out-of-range entry is
+      // also out of range (the dead-bucket invariant above). Lane order
+      // q0..q3 with strict `>` keeps the reference's tie-break.
+      if (!VN && narrow) {
+        __m256i B = _mm256_loadu_si256((const __m256i*)&bucket);
+        const __m256i SH = _mm256_setr_epi32(0, 0, 0, 1, 2, 3, 4, 5);
+        __m256i shifted = _mm256_permutevar8x32_epi32(B, SH);
+        __m256i ni = _mm256_castsi128_si256(
+            _mm_set_epi32(0, 0, (int)index, (int)val));
+        _mm256_storeu_si256((__m256i*)&bucket,
+                            _mm256_blend_epi32(shifted, ni, 0x3));
+        __m256i eq = _mm256_cmpeq_epi32(B, _mm256_set1_epi32((int)val));
+        __m256i pos = _mm256_srli_epi64(B, 32);
+        __m256i dist =
+            _mm256_sub_epi32(_mm256_set1_epi32((int)index), pos);
+        __m256i out =
+            _mm256_cmpgt_epi32(dist, _mm256_set1_epi32((int)max_d));
+        uint32_t mm = (uint32_t)_mm256_movemask_ps(_mm256_castsi256_ps(
+                          _mm256_andnot_si256(out, eq))) &
+                      0x55u;
+        if (mm) {
+          alignas(32) int32_t tmp[8];
+          _mm256_store_si256((__m256i*)tmp, B);
+          do {
+            int lane = __builtin_ctz(mm);
+            mm &= mm - 1;
+            size_t cpos = (size_t)(uint32_t)tmp[lane + 1];
+            uint32_t len =
+                (uint32_t)lcp_fwd(src, index, cpos, 4, n - index);
+            if (len > inc.len) { inc.len = len; inc.midx = cpos; }
+          } while (mm);
+        }
+      } else {
+#else
+      {
+#endif
+        History copy = bucket;
+        for (int i = HASH_WIDTH - 1; i > 0; i--)
+          bucket.q[i] = bucket.q[i - 1];
+        bucket.q[0] = {val, (int32_t)index};
+        for (int i = 0; i < HASH_WIDTH; i++) {
+          int64_t dist = (int64_t)index - copy.q[i].pos;
+          if (dist > (int64_t)max_d) break;
+          uint32_t x = val ^ copy.q[i].val;
+          uint32_t len;
+          if (x == 0) {
+            len = (uint32_t)lcp_fwd(src, index, (size_t)copy.q[i].pos, 4,
+                                    n - index);
+          } else if (VN && (x & unit_mask) == 0) {
+            len = 3;
+          } else continue;
+          if (len > inc.len) { inc.len = len; inc.midx = (size_t)copy.q[i].pos; }
+        }
       }
     }
     if (inc.len) {
@@ -1860,8 +1918,19 @@ static void run_frontend(const uint8_t* src, size_t n, Backend& backend) {
           if ((int64_t)next - b2.q[0].pos > (int64_t)max_d) {
             b2.q[0] = {v2, (int32_t)next};
           } else {
+#if defined(__AVX2__)
+            __m256i B2v = _mm256_loadu_si256((const __m256i*)&b2);
+            const __m256i SH2 = _mm256_setr_epi32(0, 0, 0, 1, 2, 3, 4, 5);
+            __m256i ni2 = _mm256_castsi128_si256(
+                _mm_set_epi32(0, 0, (int)next, (int)v2));
+            _mm256_storeu_si256(
+                (__m256i*)&b2,
+                _mm256_blend_epi32(_mm256_permutevar8x32_epi32(B2v, SH2),
+                                   ni2, 0x3));
+#else
             for (int i = HASH_WIDTH - 1; i > 0; i--) b2.q[i] = b2.q[i - 1];
             b2.q[0] = {v2, (int32_t)next};
+#endif
           }
           next++;
         }
