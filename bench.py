@@ -125,7 +125,7 @@ def _device_setup(srcs):
     # is the gathers + the two kernels.
     from lzfse_rust_tpu.runtime import native
     v_tabs = np.zeros((B, 384), np.int32)
-    u_tabs = np.zeros((B, 512), np.int32)
+    u_tabs = np.zeros((B, 384), np.int32)
     u_tot = np.zeros(B, np.int32)
     inv_l = np.argsort(perm_l).astype(np.int32)
     inv_m = np.argsort(perm_m).astype(np.int32)
@@ -134,7 +134,7 @@ def _device_setup(srcs):
     w16 = np.empty((nb, C.N_WEIGHTS), np.uint16)
     for i, d in enumerate(fse_blocks):
         w16[i] = d.weights
-    native.build_tables2_batch(w16, inv_m[:nb], inv_l[:nb], v_tabs, u_tabs,
+    native.build_tables3_batch(w16, inv_m[:nb], inv_l[:nb], v_tabs, u_tabs,
                                u_tot)
     AL = M._ALIGN
     cum = np.cumsum(np.concatenate((
@@ -173,7 +173,7 @@ def _device_setup(srcs):
         lit_sh = jax.eval_shape(
             functools.partial(decode_literals_pallas,
                               n_steps=C.LITERALS_PER_BLOCK // 4),
-            jax.ShapeDtypeStruct((B, 512), jnp.int32),
+            jax.ShapeDtypeStruct((B, 384), jnp.int32),
             jax.ShapeDtypeStruct((B, lw), jnp.int32),
             *[jax.ShapeDtypeStruct((B, 128), jnp.int32)] * 3,
             jax.ShapeDtypeStruct((B,), jnp.int32))[0]

@@ -217,7 +217,7 @@ def _prep_small(B: int):
     """Reusable host staging for the native-assisted pallas prep: per-block
     states/positions plus the packed decode tables (payload rows travel as
     a compact aligned cat + device row-gather, not as padded host rows)."""
-    key = ("small2", B)
+    key = ("small3", B)
     bufs = _PREP_CACHE.get(key)
     if bufs is None:
         bufs = (np.zeros((B, 128), np.int32),   # lit states (lanes >=4 stay 0)
@@ -225,7 +225,7 @@ def _prep_small(B: int):
                 np.zeros(B, np.int32),          # lit pos
                 np.zeros(B, np.int32),          # lmd pos
                 np.zeros((B, 384), np.int32),   # packed v tables (sorted)
-                np.zeros((B, 512), np.int32),   # compact u2 tables (sorted)
+                np.zeros((B, 384), np.int32),   # u3 sym+aux tables (sorted)
                 np.zeros(B, np.int32),          # lit cat start chunks
                 np.zeros(B, np.int32),          # lmd cat start chunks
                 np.zeros(B, np.int32))          # U totals (latch thresholds)
@@ -501,7 +501,7 @@ class TpuDecoder:
              u_tabs, _s1_unused, _s2_unused, u_tot) = _prep_small(B)
             # table build (native, GIL-free) overlaps the payload gather
             pool = _prep_pool()
-            fut_tabs = pool.submit(native_mod.build_tables2_batch,
+            fut_tabs = pool.submit(native_mod.build_tables3_batch,
                                    w16, sm_n, sl_n, v_tabs, u_tabs, u_tot)
             lens_l = desc[:, 6].astype(np.int64)
             lens_m = desc[:, 8].astype(np.int64)
@@ -796,7 +796,7 @@ class TpuDecoder:
                     lit_bits[i] = blk.literal.bits
                     lmd_bits[i] = blk.lmd.bits
                     w16[i] = d.weights
-                native_tables.build_tables2_batch(w16, sm_n, sl_n,
+                native_tables.build_tables3_batch(w16, sm_n, sl_n,
                                                   v_tabs, u_tabs, u_tot)
                 # Payloads travel compact: each one padded to the 512-byte
                 # chunk grid in one flat cat, then a device row-gather
@@ -876,10 +876,10 @@ class TpuDecoder:
                 lmd_words_dev = gather(cat_dev, jnp.asarray(start_m),
                                        w_words=lmd_w_total)
             else:
-                from ..ops.table_build import build_decode_tables_v2
-                v_packed, u2, tot = build_decode_tables_v2(
+                from ..ops.table_build import build_decode_tables_v3
+                v_packed, u3, tot = build_decode_tables_v3(
                     jnp.asarray(weights))
-                u_sorted = take(u2, jnp.asarray(perm_l))
+                u_sorted = take(u3, jnp.asarray(perm_l))
                 v_sorted = take(v_packed, jnp.asarray(perm_m))
                 tot_sorted = jnp.take(tot, jnp.asarray(perm_l))
                 lit_words_dev = jnp.asarray(lit_words)

@@ -131,50 +131,48 @@ def _lookup_sec(tab, state, n_states, g_sec, sec_id):
     return _bit_merge(secs, sec_id)
 
 
-def _sym_aux_lookup(u2, state, tot, g_sec, sec_id):
-    """Literal U lookup on the compact sym+aux table: 4 gathers/section.
+def _sym_aux_lookup(u3, state, tot, g_sec, sec_id):
+    """Literal U lookup on the compact sym+aux table: 3 gathers/section.
 
-    Per section (512 words): columns [0, 256) hold byte-packed symbols
-    (state i in byte i&3 of word i>>2); columns [256, 512) hold ONE aux
-    word per SYMBOL, (A+1022) | (B << 11) with A = f - base and
-    B = base + x (f = symbol weight, base = cumulative weight, x = head
-    length). (k, delta) reconstruct arithmetically from them:
+    Per section (384 words): columns [0, 256) hold byte-packed symbols
+    (state i in byte i&3 of word i>>2); columns [256, 384) hold per-SYMBOL
+    aux HALFWORDS B | (k0 << 11) with B = base + x (f = symbol weight,
+    base = cumulative weight, x = head length; B <= 1024 fits 11 bits).
+    (k, delta) reconstruct arithmetically:
 
-      A + B == 2048 >> k0          (exact, by the table-build identities)
+      A     == (2048 >> k0) - B    (exact: A + B == 2048 >> k0)
       head  == state < B
       k     == head ? k0 : k0 - 1
       delta == head ? ((state + A) << k0) - 1024 : (state - B) << (k0 - 1)
 
     which reproduces the reference's per-state entries
-    (src/fse/decoder.rs:299-335) without a per-state (k, delta) table —
-    the lookup drops from 6 gathers/section (split kd+sym) to 4. k0 is
-    recovered from the power of two A + B via the float32 exponent.
+    (src/fse/decoder.rs:299-335) without a per-state (k, delta) table.
+    Halfword-packing the aux makes it ONE 128-word tile, so the aux read
+    is a single gather (4 -> 3 gathers/section vs the v2 word layout).
     States >= tot are latch entries (k=0, delta=state, sym=0;
     decoder.rs:327-334). Returns (k, delta, sym)."""
     si_lo = (state >> 2) & 127
     si_hi = (state >> 9) & 1
     sy_secs = []
     for g in range(g_sec):
-        o = g * 512
-        sa = jnp.take_along_axis(u2[:, o:o + 128], si_lo, axis=1)
-        sb = jnp.take_along_axis(u2[:, o + 128:o + 256], si_lo, axis=1)
+        o = g * 384
+        sa = jnp.take_along_axis(u3[:, o:o + 128], si_lo, axis=1)
+        sb = jnp.take_along_axis(u3[:, o + 128:o + 256], si_lo, axis=1)
         sy_secs.append(jnp.where(si_hi == 0, sa, sb))
     sy = _bit_merge(sy_secs, sec_id)
     sym = (sy.astype(jnp.uint32)
            >> ((state & 3) << 3).astype(jnp.uint32)).astype(jnp.int32) & 255
-    ax_lo = sym & 127
-    ax_hi = sym >> 7
     ax_secs = []
     for g in range(g_sec):
-        o = g * 512 + 256
-        aa = jnp.take_along_axis(u2[:, o:o + 128], ax_lo, axis=1)
-        ab = jnp.take_along_axis(u2[:, o + 128:o + 256], ax_lo, axis=1)
-        ax_secs.append(jnp.where(ax_hi == 0, aa, ab))
-    aux = _bit_merge(ax_secs, sec_id)
-    A = (aux & 2047) - 1022
-    Bv = (aux >> 11) & 2047
-    fexp = pltpu.bitcast((A + Bv).astype(jnp.float32), jnp.int32) >> 23
-    k0 = jnp.clip(138 - fexp, 0, 10)    # A + B == 2048 >> k0
+        o = g * 384 + 256
+        ax_secs.append(jnp.take_along_axis(u3[:, o:o + 128], sym >> 1,
+                                           axis=1))
+    aw = _bit_merge(ax_secs, sec_id).astype(jnp.uint32)
+    aux = ((aw >> ((sym & 1) << 4).astype(jnp.uint32))
+           & jnp.uint32(0x7FFF)).astype(jnp.int32)
+    Bv = aux & 2047
+    k0 = aux >> 11
+    A = (2048 >> k0) - Bv
     head = state < Bv
     k = jnp.maximum(jnp.where(head, k0, k0 - 1), 0)
     delta = jnp.where(head,
@@ -502,7 +500,12 @@ def _lmd_kernel(ns_ref, v_tab_ref, win_ref, s_init_ref, pos_ref,
                 # packs the D symbol j, whose base follows the closed form
                 # base = ((4 + (j & 3)) << (j >> 2)) - 4 (extra bits
                 # e = j >> 2) — verified against D_BASE_VALUE, replacing
-                # the 64-entry table gather with three VPU ops
+                # the 64-entry table gather with three VPU ops.
+                # (A/B'd r4: the literal kernel's sym+aux arithmetic
+                # reconstruction at 2 gathers/section LOSES here — 25.5-27
+                # vs 23.6 ms over three packing variants; this 384-state
+                # per-state layout keeps the unpack at ~8 VPU ops, and the
+                # kernel is not purely gather-issue bound at that margin.)
                 hi = (ent >> 17) & 0x7FFF
                 d_b = ((4 + (hi & 3)) << jnp.minimum(hi >> 2, 15)) - 4
                 base = jnp.where(glane == 2, d_b, hi)
@@ -615,18 +618,19 @@ def _widen(x, B, g_sec):
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "epoch"))
-def decode_literals_pallas(u2, win_words, init_states, init_pos, num,
+def decode_literals_pallas(u3, win_words, init_states, init_pos, num,
                            tot, n_steps: int, epoch: int = EPOCH_LIT):
     """Batched 4-lane literal decode.
 
-    u2: (B, 512) int32 compact table (byte-packed symbols + per-symbol aux
-    words — see table_build.build_decode_tables_v2); win_words: (B, W)
-    int32 LE words of the padded literal payload (W >= 256, >= payload
-    words + 3); init_states: (B, 128) int32 (lanes 0..3, zeros elsewhere);
-    init_pos/num: (B, 128) int32 broadcast; tot: (B,) int32 per-block
-    U-weight totals (states >= tot self-latch, decoder.rs:327-334). B must
-    be a multiple of R_ROWS. Returns (packed literals (B, >=n_steps) int32,
-    final_states (B, 128), final_pos (B, 128))."""
+    u3: (B, 384) int32 compact table (byte-packed symbols + per-symbol
+    halfword aux — see table_build.build_decode_tables_v3); win_words:
+    (B, W) int32 LE words of the padded literal payload (W >= 256,
+    >= payload words + 3); init_states: (B, 128) int32 (lanes 0..3, zeros
+    elsewhere); init_pos/num: (B, 128) int32 broadcast; tot: (B,) int32
+    per-block U-weight totals (states >= tot self-latch,
+    decoder.rs:327-334). B must be a multiple of R_ROWS. Returns (packed
+    literals (B, >=n_steps) int32, final_states (B, 128),
+    final_pos (B, 128))."""
     B, W = win_words.shape
     assert B % R_ROWS == 0
     assert W >= 256
@@ -657,7 +661,7 @@ def decode_literals_pallas(u2, win_words, init_states, init_pos, num,
         in_specs=[
             pl.BlockSpec(ns_shape, lambda g, se: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((RS, G * 512), lambda g, se: (g, 0),
+            pl.BlockSpec((RS, G * 384), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RS, G * W), lambda g, se: (g, 0),
                          memory_space=pltpu.VMEM),
@@ -687,7 +691,7 @@ def decode_literals_pallas(u2, win_words, init_states, init_pos, num,
             pltpu.VMEM((RS, 128), jnp.int32),
             pltpu.VMEM((RS, 128), jnp.int32),
         ],
-    )(ns, u2.reshape(B // G, G * 512),
+    )(ns, u3.reshape(B // G, G * 384),
       win_words.reshape(B // G, G * W), _to_sections(states_t, G),
       _to_sections(init_pos, G), _to_sections(num, G))
     return (_untangle(out, B, G, n_se_max, epoch), _widen(fs, B, G),
@@ -697,11 +701,12 @@ def decode_literals_pallas(u2, win_words, init_states, init_pos, num,
 @functools.partial(jax.jit, static_argnames=("n_steps", "epoch"))
 def decode_lmds_pallas(v_tab, win_words, init_states, init_pos, num,
                        n_steps: int, epoch: int = EPOCH):
-    """Batched 3-lane LMD decode. Shapes as decode_literals_pallas; v tables
-    are (B, 384) packed entries (value bases inline; the D lane packs the
-    D symbol, whose base the kernel derives arithmetically). Returns
-    (lm_packed (B, >=n_steps) int32 = l | m << 16, d (B, >=n_steps) int32,
-    final_states, final_pos)."""
+    """Batched 3-lane LMD decode. Shapes as decode_literals_pallas; v
+    tables are (B, 384) packed per-state entries (value bases inline; the
+    D lane packs the D symbol, whose base the kernel derives
+    arithmetically — see table_build.build_decode_tables_v3). Returns
+    (lm_packed (B, >=n_steps) int32 = l | m << 16, d (B, >=n_steps)
+    int32, final_states, final_pos)."""
     B, W = win_words.shape
     assert B % R_ROWS_LMD == 0
     assert W >= 256

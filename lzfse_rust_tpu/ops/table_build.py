@@ -119,46 +119,50 @@ def build_decode_tables(weights: jnp.ndarray):
 
 
 @jax.jit
-def build_decode_tables_v2(weights: jnp.ndarray):
-    """weights: (B, 360) int32 -> (v_packed (B, 384), u2 (B, 512), tot (B,)).
+def build_decode_tables_v3(weights: jnp.ndarray):
+    """weights: (B, 360) int32 -> (v_packed (B, 384), u3 (B, 384),
+    tot (B,)).
 
-    u2 is the Pallas literal kernel's compact U-table layout:
-      words [0, 256):   byte-packed symbol per state (state i -> byte i&3 of
-                        word i>>2);
-      words [256, 512): per-SYMBOL aux words (A+1022) | (B << 11) with
-                        A = f - base, B = base + x, from which the kernel
-                        reconstructs (k, delta) arithmetically — the identity
-                        A + B = 2048 >> k0 makes k0 derivable, so the whole
-                        per-state (k, delta) table collapses to one aux word
-                        per symbol (see ops/pallas_decode.py _sym_aux_lookup).
-    tot is each block's normalized U-weight total; states >= tot are latch
-    states (self-latching, k=0 — src/fse/decoder.rs:286-291) and the kernel
-    overrides the arithmetic path for them.
+    v_packed is the LMD kernel's per-state packed-entry table (the
+    build_decode_tables V layout: k | v_bits<<4 | delta<<8 | hi<<17, with
+    the D lane's hi holding the D symbol whose base follows a closed
+    form). A/B'd in round 4: a sym+aux arithmetic layout (2 gathers vs 3)
+    LOSES on the LMD kernel — 25.5-27 vs 23.6 ms over three packing
+    variants — because its (k, delta) reconstruction costs more VPU ops
+    than the saved gather; per-state entries stay.
+
+    u3 is the literal kernel's compact layout with the aux table
+    HALFWORD-packed (one aux gather instead of two):
+      words [0, 256):   byte-packed symbol per state (state i -> byte i&3
+                        of word i>>2);
+      words [256, 384): per-symbol aux halfwords B | (k0 << 11), from
+                        which (k, delta) reconstruct arithmetically
+                        (A + B == 2048 >> k0 — ops/pallas_decode
+                        _sym_aux_lookup).
+    tot holds each block's normalized U-weight total: states >= tot are
+    latch entries (src/fse/decoder.rs:286-291, 327-334) and the literal
+    kernel overrides the arithmetic path for them.
     """
-    _, u2, tot = _v2_parts(weights)
-    v_packed, _, _ = build_decode_tables(weights)
-    return v_packed, u2, tot
-
-
-@jax.jit
-def _v2_parts(weights: jnp.ndarray):
+    B = weights.shape[0]
     wu = weights[:, C.D_TOP:C.U_TOP].astype(jnp.int32)
-    B = wu.shape[0]
-    # symbol per state (sorted contiguous assignment), byte-packed
-    uk, usym, _, udelta = _build_block(
-        wu, C.U_STATES, 0,
-        jnp.arange(C.U_SYMBOLS, dtype=jnp.int32),
+    v_packed, _, _ = build_decode_tables(weights)
+
+    _uk, usym, _, _ud = _build_block(
+        wu, C.U_STATES, 0, jnp.arange(C.U_SYMBOLS, dtype=jnp.int32),
         jnp.zeros(C.U_SYMBOLS, dtype=jnp.int32), 0, True)
-    s4 = usym.reshape(B, 256, 4)
-    sym_w = (s4[:, :, 0] | (s4[:, :, 1] << 8)
-             | (s4[:, :, 2] << 16) | (s4[:, :, 3] << 24))
-    # per-symbol aux, all elementwise in the symbol axis
+    s4u = usym.reshape(B, 256, 4)
+    u_sym_w = (s4u[:, :, 0] | (s4u[:, :, 1] << 8)
+               | (s4u[:, :, 2] << 16) | (s4u[:, :, 3] << 24))
     f = wu
     base = jnp.cumsum(f, axis=1) - f
     k0 = 11 - _bit_length(jnp.maximum(f, 1))
     x = ((C.U_STATES << 1) >> k0) - f
-    A = f - base
     Bv = base + x
-    aux = (A + 1022) | (Bv << 11)
+    # zero-weight symbols have no states; zero their aux so the XLA and
+    # native builders emit identical bytes
+    aux = jnp.where(f > 0, Bv | (k0 << 11), 0).astype(jnp.int32)
+    ua = aux.reshape(B, 128, 2)
+    u_aux_w = ua[:, :, 0] | (ua[:, :, 1] << 16)            # (B, 128)
+    u3 = jnp.concatenate([u_sym_w, u_aux_w], axis=1)       # (B, 384)
     tot = jnp.sum(f, axis=1).astype(jnp.int32)
-    return uk, jnp.concatenate([sym_w, aux], axis=1).astype(jnp.int32), tot
+    return v_packed, u3, tot

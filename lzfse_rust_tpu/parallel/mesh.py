@@ -129,11 +129,11 @@ def sharded_pallas_entropy_decode(mesh: Mesh, arrays: dict, n_lit_steps: int,
     mode by tests/test_parallel.py.
 
     `arrays` carries batch-leading device inputs in the kernels' shapes:
-    u2_tabs (B, 512) compact literal tables, v_tabs (B, 384),
-    lit_words/lmd_words (B, W) int32, lit_states/lmd_states/lit_pos/
-    lmd_pos/lit_num/lmd_num (B, 128) int32, lit_tot (B,) int32 latch
-    thresholds. B must divide into mesh-size shards that are multiples
-    of 128."""
+    u3_tabs (B, 384) compact literal tables, v_tabs (B, 384) packed
+    per-state V tables, lit_words/lmd_words (B, W) int32,
+    lit_states/lmd_states/lit_pos/lmd_pos/lit_num/lmd_num (B, 128) int32,
+    lit_tot (B,) int32 latch thresholds. B must divide into mesh-size
+    shards that are multiples of 128."""
     from jax import shard_map
 
     from ..ops.pallas_decode import (decode_literals_pallas,
@@ -141,7 +141,7 @@ def sharded_pallas_entropy_decode(mesh: Mesh, arrays: dict, n_lit_steps: int,
 
     sh = shard_batch(mesh, axis)
     put = lambda x: jax.device_put(jnp.asarray(x), sh)
-    keys = ("u2_tabs", "v_tabs", "lit_words", "lmd_words", "lit_states",
+    keys = ("u3_tabs", "v_tabs", "lit_words", "lmd_words", "lit_states",
             "lit_pos", "lit_num", "lit_tot", "lmd_states", "lmd_pos",
             "lmd_num")
 

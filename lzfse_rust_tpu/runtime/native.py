@@ -98,8 +98,8 @@ def _configure(lib) -> None:
     lib.tl_build_tables_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
         ctypes.c_void_p, ctypes.c_void_p]
-    lib.tl_build_tables2_batch.restype = ctypes.c_longlong
-    lib.tl_build_tables2_batch.argtypes = [
+    lib.tl_build_tables3_batch.restype = ctypes.c_longlong
+    lib.tl_build_tables3_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     lib.tl_load_weights_v2.restype = ctypes.c_longlong
@@ -367,21 +367,21 @@ def build_tables_batch(weights16, slots_v, slots_u, v_all, u_all) -> None:
         weights16.shape[0], v_all.ctypes.data, u_all.ctypes.data)
 
 
-def build_tables2_batch(weights16, slots_v, slots_u, v_all, u2_all,
-                        tot_all) -> None:
-    """Build every block's packed decode tables (v2 compact literal layout)
-    in one threaded call.
+def build_tables3_batch(weights16, slots_v, slots_u, v_all, u3_all,
+                        totu_all) -> None:
+    """Build every block's v3 decode tables in one threaded call (see
+    table_build.build_decode_tables_v3 for the layout).
 
     weights16: (nb, 360) uint16 contiguous; slots_v/slots_u: (nb,) int32
-    destination rows; v_all: (B, 384) int32; u2_all: (B, 512) int32
-    (byte-packed symbols + per-symbol aux); tot_all: (B,) int32 U-weight
-    totals (latch thresholds)."""
+    destination rows; v_all: (B, 384) int32 packed per-state V entries;
+    u3_all: (B, 384) int32 literal sym+aux; totu_all: (B,) int32 U totals
+    (latch thresholds, literal sort order)."""
     import numpy as np
     assert weights16.dtype == np.uint16 and weights16.flags.c_contiguous
-    _lib().tl_build_tables2_batch(
+    _lib().tl_build_tables3_batch(
         weights16.ctypes.data, slots_v.ctypes.data, slots_u.ctypes.data,
-        weights16.shape[0], v_all.ctypes.data, u2_all.ctypes.data,
-        tot_all.ctypes.data)
+        weights16.shape[0], v_all.ctypes.data, u3_all.ctypes.data,
+        totu_all.ctypes.data)
 
 
 def load_weights_v2(payload: bytes):

@@ -2911,14 +2911,17 @@ long long tl_scatter_rows(const char* cat, const long long* offs,
   return 0;
 }
 
-// Compact literal-table build (v2 layout consumed by the Pallas literal
-// kernel, ops/pallas_decode.py _sym_aux_lookup / table_build.py
-// build_decode_tables_v2): 256 words of byte-packed per-state symbols +
-// 256 per-SYMBOL aux words (A+1022) | (B << 11); (k, delta) reconstruct
-// arithmetically in-kernel, with states >= tot self-latching.
-static void build_u2_block(const uint16_t* w, int32_t* u2, int32_t* tot_out) {
+// v3 decode tables (ops/table_build.py build_decode_tables_v3, consumed
+// by the Pallas kernels): v_packed (384 words/block) keeps the per-state
+// packed V entries (build_packed_block — the sym+aux arithmetic variant
+// was A/B'd slower on the LMD kernel); u3 (384 words/block) is the
+// literal kernel's compact layout with HALFWORD-packed per-symbol aux:
+// byte-packed symbols [0,256) + aux halfwords B | (k0 << 11) [256,384).
+// tot = the normalized U-weight total (literal latch threshold).
+static void build_u3_block(const uint16_t* w, int32_t* u3, int32_t* tot_out) {
   int total = 0;
   unsigned char syms[U_STATES];
+  uint16_t aux[256];
   for (int i = 0; i < 256; i++) {
     int f = w[i];
     int base = total;
@@ -2927,24 +2930,24 @@ static void build_u2_block(const uint16_t* w, int32_t* u2, int32_t* tot_out) {
       while (t) { bl++; t >>= 1; }
       int k0 = 11 - bl;
       int x = ((U_STATES << 1) >> k0) - f;
-      int A = f - base;
       int B = base + x;
-      u2[256 + i] = (A + 1022) | (B << 11);
+      aux[i] = (uint16_t)(B | (k0 << 11));
       for (int j = 0; j < f && base + j < U_STATES; j++)
         syms[base + j] = (unsigned char)i;
       total += f;
     } else {
-      u2[256 + i] = 0;
+      aux[i] = 0;
     }
   }
   if (total > U_STATES) total = U_STATES;
   for (int s = total; s < U_STATES; s++) syms[s] = 0;
-  memcpy(u2, syms, U_STATES);
+  memcpy(u3, syms, U_STATES);
+  memcpy((char*)u3 + 256 * 4, aux, 256 * 2);
   *tot_out = total;
 }
 
-long long tl_build_tables2(const unsigned short* w, int* v_packed,
-                           int* u2, int* tot) {
+long long tl_build_tables3(const unsigned short* w, int* v_packed, int* u3,
+                           int* tot) {
   build_packed_block((const uint16_t*)w, 20, L_STATES, 0, L_EXTRA, L_BASE,
                      false, false, v_packed);
   build_packed_block((const uint16_t*)w + 20, 20, M_STATES, L_STATES,
@@ -2952,22 +2955,22 @@ long long tl_build_tables2(const unsigned short* w, int* v_packed,
   build_packed_block((const uint16_t*)w + 40, 64, D_STATES,
                      L_STATES + M_STATES, D_EXTRA, D_BASE, false, true,
                      v_packed + L_STATES + M_STATES);
-  build_u2_block((const uint16_t*)w + 104, u2, tot);
+  build_u3_block((const uint16_t*)w + 104, u3, tot);
   return 0;
 }
 
-long long tl_build_tables2_batch(const unsigned short* w, const int* slots_v,
+long long tl_build_tables3_batch(const unsigned short* w, const int* slots_v,
                                  const int* slots_u, size_t nb, int* v_all,
-                                 int* u2_all, int* tot_all) {
+                                 int* u_all, int* totu_all) {
   unsigned nt = std::thread::hardware_concurrency();
   if (nt == 0) nt = 1;
   if (nt > 8) nt = 8;
   if (nb < 32) nt = 1;
   auto work = [&](size_t t0) {
     for (size_t i = t0; i < nb; i += nt)
-      tl_build_tables2(w + i * 360, v_all + (size_t)slots_v[i] * 384,
-                       u2_all + (size_t)slots_u[i] * 512,
-                       tot_all + slots_u[i]);
+      tl_build_tables3(w + i * 360, v_all + (size_t)slots_v[i] * 384,
+                       u_all + (size_t)slots_u[i] * 384,
+                       totu_all + slots_u[i]);
   };
   if (nt == 1) {
     work(0);

@@ -197,3 +197,37 @@ def test_decode_into_zero_copy(snappy_dir):
     out = np.empty(native.decode_bound(src), np.uint8)
     with pytest.raises(DecodeError):
         native.decode_into(bad, out, parallel=False)
+
+
+def test_native_tables3_match_xla_builder(snappy_dir):
+    """The native v3 sym+aux decode-table builder must emit byte-identical
+    tables to the XLA builder (table_build.build_decode_tables_v3) —
+    corpus weights plus degenerate shapes (sub-total classes = latch
+    regions, empty classes)."""
+    jnp = pytest.importorskip("jax.numpy")
+    import lzfse_rust_tpu.models.decoder as M
+    from lzfse_rust_tpu.ops.table_build import build_decode_tables_v3
+
+    fse: list = []
+    for i, p in enumerate(sorted(snappy_dir.glob("*.lzfse"))):
+        M._parse_container(p.read_bytes(), i, fse)
+    rows = [d.weights for d in fse]
+    # degenerate weight shapes: sub-total classes latch, empty classes
+    w = np.zeros(360, np.int64)
+    w[0] = 1
+    w[20] = 64
+    w[40:42] = [100, 50]
+    w[104] = 7
+    rows.append(w)
+    w16 = np.ascontiguousarray(np.stack(rows).astype(np.uint16))
+    nb = len(rows)
+    v_n = np.zeros((nb, 384), np.int32)
+    u_n = np.zeros((nb, 384), np.int32)
+    totu = np.zeros(nb, np.int32)
+    slots = np.arange(nb, dtype=np.int32)
+    native.build_tables3_batch(w16, slots, slots, v_n, u_n, totu)
+    v_x, u_x, tot_x = build_decode_tables_v3(
+        jnp.asarray(w16.astype(np.int64)))
+    assert np.array_equal(v_n, np.asarray(v_x))
+    assert np.array_equal(u_n, np.asarray(u_x))
+    assert np.array_equal(totu, np.asarray(tot_x))

@@ -55,9 +55,9 @@ def test_pallas_kernels_interpret_match_spec(block, monkeypatch):
     B = P.R_ROWS
     W = 512  # words; enough for this fixture's payloads
 
-    from lzfse_rust_tpu.ops.table_build import build_decode_tables_v2
+    from lzfse_rust_tpu.ops.table_build import build_decode_tables_v3
     weights = np.tile(d.weights.astype(np.int32), (B, 1))
-    v_packed, u2, tot = build_decode_tables_v2(jnp.asarray(weights))
+    v_packed, u3, tot = build_decode_tables_v3(jnp.asarray(weights))
 
     def prep(payload, states, bits, num, n_states_off):
         p = np.zeros((B, W * 4), np.uint8)
@@ -74,7 +74,7 @@ def test_pallas_kernels_interpret_match_spec(block, monkeypatch):
                           d.block.literal.bits, d.block.literal.num,
                           (0, 0, 0, 0))
     n_steps = (d.block.literal.num + 3) // 4
-    lit_pk, fs, fp = P.decode_literals_pallas(u2, lw, ls, lp, ln, tot,
+    lit_pk, fs, fp = P.decode_literals_pallas(u3, lw, ls, lp, ln, tot,
                                               n_steps)
     lit_pk = np.asarray(lit_pk)
     fs = np.asarray(fs)
@@ -280,7 +280,7 @@ def test_pallas_literal_latch_states_interpret(monkeypatch):
     from jax.experimental import pallas as pl
 
     import lzfse_rust_tpu.ops.pallas_decode as P
-    from lzfse_rust_tpu.ops.table_build import build_decode_tables_v2
+    from lzfse_rust_tpu.ops.table_build import build_decode_tables_v3
     from lzfse_rust_tpu.spec import tables as T
     from lzfse_rust_tpu.spec.bits import BitReader
 
@@ -314,14 +314,14 @@ def test_pallas_literal_latch_states_interpret(monkeypatch):
     B = P.R_ROWS
     W = 512
     weights = np.tile(w.astype(np.int32), (B, 1))
-    _vp, u2, tot = build_decode_tables_v2(jnp.asarray(weights))
+    _vp, u3, tot = build_decode_tables_v3(jnp.asarray(weights))
     assert int(np.asarray(tot)[0]) == 512
     p = np.zeros((B, W * 4), np.uint8)
     p[:, :len(payload)] = np.frombuffer(payload, np.uint8)
     st = np.zeros((B, 128), np.int32)
     st[:, :4] = init
     lit_pk, fs, _fp = P.decode_literals_pallas(
-        u2, jnp.asarray(p.view("<i4").copy()), jnp.asarray(st),
+        u3, jnp.asarray(p.view("<i4").copy()), jnp.asarray(st),
         jnp.asarray(np.full((B, 128), len(payload) * 8, np.int32)),
         jnp.asarray(np.full((B, 128), num, np.int32)),
         tot, (num + 3) // 4)

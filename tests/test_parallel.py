@@ -96,7 +96,7 @@ def test_sharded_pallas_kernels_match_unsharded(mesh, monkeypatch):
     import lzfse_rust_tpu.models.decoder as M
     import lzfse_rust_tpu.ops.pallas_decode as P
     from lzfse_rust_tpu.base import constants as C
-    from lzfse_rust_tpu.ops.table_build import build_decode_tables_v2
+    from lzfse_rust_tpu.ops.table_build import build_decode_tables_v3
     from lzfse_rust_tpu.parallel.mesh import sharded_pallas_entropy_decode
 
     real_call = pl.pallas_call
@@ -112,7 +112,7 @@ def test_sharded_pallas_kernels_match_unsharded(mesh, monkeypatch):
     W = 512
 
     weights = np.tile(d.weights.astype(np.int32), (B, 1))
-    v_packed, u2, tot = build_decode_tables_v2(jnp.asarray(weights))
+    v_packed, u3, tot = build_decode_tables_v3(jnp.asarray(weights))
 
     def prep(payload, states, bits, num, offs):
         p = np.zeros((B, W * 4), np.uint8)
@@ -136,14 +136,14 @@ def test_sharded_pallas_kernels_match_unsharded(mesh, monkeypatch):
     n_lit = min((d.block.literal.num + 3) // 4, 64)
     n_lmd = min(d.block.lmd.num, 64)
 
-    arrays = dict(u2_tabs=u2, v_tabs=v_packed, lit_words=lw,
+    arrays = dict(u3_tabs=u3, v_tabs=v_packed, lit_words=lw,
                   lmd_words=mw, lit_states=ls, lit_pos=lp, lit_num=ln,
                   lit_tot=tot, lmd_states=ms, lmd_pos=mp, lmd_num=mn)
     s_lits, s_lm, s_dd, s_lfs, s_lfp, s_mfs, s_mfp = \
         sharded_pallas_entropy_decode(mesh, arrays, n_lit, n_lmd)
 
     u_lits, u_lfs, u_lfp = P.decode_literals_pallas(
-        u2, jnp.asarray(lw), jnp.asarray(ls), jnp.asarray(lp),
+        u3, jnp.asarray(lw), jnp.asarray(ls), jnp.asarray(lp),
         jnp.asarray(ln), tot, n_lit)
     u_lm, u_dd, u_mfs, u_mfp = P.decode_lmds_pallas(
         v_packed, jnp.asarray(mw), jnp.asarray(ms), jnp.asarray(mp),

@@ -3,7 +3,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 os.environ["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jaxcache"
 import pathlib, time, numpy as np, jax, jax.numpy as jnp, functools
 import lzfse_rust_tpu.models.decoder as M
-from lzfse_rust_tpu.ops.table_build import build_decode_tables_v2
+from lzfse_rust_tpu.ops.table_build import build_decode_tables_v3
 from lzfse_rust_tpu.ops.pallas_decode import decode_literals_pallas, decode_lmds_pallas
 
 files = sorted(pathlib.Path("/root/reference/data/snappy").glob("*.lzfse"))
@@ -51,9 +51,9 @@ PL = jnp.asarray(perm_l); PM = jnp.asarray(perm_m)
 @functools.partial(jax.jit, static_argnames="n_rep")
 def pipe(Wd, LW, MW, LS, MS, LP, MP, LN, MN, PL, PM, n_rep):
     def body(r, acc):
-        vp, u2, tot = build_decode_tables_v2(Wd + r - r)
+        vp, u3, tot = build_decode_tables_v3(Wd + r - r)
         lits, lfs, lfp = decode_literals_pallas(
-            jnp.take(u2, PL, axis=0), LW, LS, LP + r - r, LN,
+            jnp.take(u3, PL, axis=0), LW, LS, LP + r - r, LN,
             jnp.take(tot, PL), 10000)
         lm, dd, mfs, mfp = decode_lmds_pallas(
             jnp.take(vp, PM, axis=0), MW, MS, MP + r - r, MN, 10000)

@@ -6,7 +6,7 @@ os.environ["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jaxcache"
 import pathlib, time, numpy as np, jax, jax.numpy as jnp, functools
 import lzfse_rust_tpu.models.decoder as M
 from lzfse_rust_tpu.ops.table_build import (build_decode_tables,
-                                            build_decode_tables_v2)
+                                            build_decode_tables_v3)
 from lzfse_rust_tpu.ops.pallas_decode import decode_literals_pallas, decode_lmds_pallas
 
 files = sorted(pathlib.Path("/root/reference/data/snappy").glob("*.lzfse"))
@@ -52,7 +52,7 @@ LN = bc(lit_num[perm_l]); MN = bc(lmd_num[perm_m])
 PL = jnp.asarray(perm_l); PM = jnp.asarray(perm_m)
 
 # precompute tables once for the kernel-only stages
-vp0, up0, tot0 = build_decode_tables_v2(Wd)
+vp0, up0, tot0 = build_decode_tables_v3(Wd)
 UP = jnp.take(up0, PL, axis=0); VP = jnp.take(vp0, PM, axis=0)
 TOT = jnp.take(tot0, PL)
 UP.block_until_ready()
@@ -75,7 +75,8 @@ def lits(UP, LW, LS, LP, LN, TOT, n_rep):
 @functools.partial(jax.jit, static_argnames="n_rep")
 def lmds(VP, MW, MS, MP, MN, n_rep):
     def body(r, acc):
-        lm, dd, fs, fp = decode_lmds_pallas(VP, MW, MS, MP + r - r, MN, 10000)
+        lm, dd, fs, fp = decode_lmds_pallas(VP, MW, MS, MP + r - r, MN,
+                                            10000)
         return acc + jnp.sum(fs) + lm[0, 0] + dd[0, 0]
     return jax.lax.fori_loop(0, n_rep, body, jnp.int32(0))
 
