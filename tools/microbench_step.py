@@ -21,7 +21,7 @@ G = 8          # sections per row
 N_CHUNKS = 8   # 1024-state table chunks
 
 
-def timed(name, make_kernel, n_steps, n_vregs=1):
+def timed(name, make_kernel, n_steps, n_vregs=1, tab_words=1024):
     def kernel(tab_ref, chunk_ref, x_ref, out_ref, *, n_steps):
         body = make_kernel(tab_ref, chunk_ref)
         xs = [x_ref[pl.ds(8 * v, 8), :] for v in range(n_vregs)]
@@ -43,7 +43,7 @@ def timed(name, make_kernel, n_steps, n_vregs=1):
         )(tab, chunk, x)
 
     tab = jnp.asarray(
-        np.random.randint(0, 1024, (8, G * 1024), np.int32))
+        np.random.randint(0, 1024, (8, G * tab_words), np.int32))
     chunk = jnp.asarray(np.random.randint(0, 2**31 - 1, (8, G * 256),
                                           np.int32))
     x = jnp.asarray(np.random.randint(0, 128, (8 * n_vregs, 128), np.int32))
@@ -290,7 +290,101 @@ def fast_step_nosplit(tab_ref, chunk_ref):
     return body
 
 
+def lookup_chunks(tab, state, sec_id, n_chunks, tab_words):
+    """Chunked gather into a tab_words-per-section table: Mosaic's gather
+    primitive reaches 128 lanes, so a T-word table costs ceil(T/128) issued
+    tile-gathers + a select merge — the scaling law the multi-symbol
+    (state, peek) feasibility note rests on."""
+    lo = state & 127
+    hi = (state >> 7) & (n_chunks - 1)
+    masks = [hi == c for c in range(1, n_chunks)]
+    e = None
+    for g in range(G):
+        eg = None
+        for c in range(n_chunks):
+            o = g * tab_words + c * 128
+            gv = jnp.take_along_axis(tab[:, o:o + 128], lo, axis=1)
+            eg = gv if eg is None else jnp.where(masks[c - 1], gv, eg)
+        e = eg if e is None else jnp.where(sec_id == g, eg, e)
+    return e
+
+
+def lookup_only_n(n_chunks):
+    """Lookup chain alone at n_chunks 128-word chunks per section."""
+    def make(tab_ref, chunk_ref):
+        _, glane, sec_id = lane_ids()
+        tab = tab_ref[:, :]
+        tw = n_chunks * 128
+
+        def body(s, i):
+            ent = lookup_chunks(tab, s & (tw - 1), sec_id, n_chunks, tw)
+            return (s + ent) & 1023
+
+        return body
+    return make
+
+
+def pair_step_64(tab_ref, chunk_ref):
+    """Most charitable multi-symbol variant: per-state full-word pre-gather
+    (8 chunks: k1, base into the pair table) + a 64-chunk (8192-entry,
+    top-8-hot-symbol scale) pair-table gather + one word-funnel extract,
+    emitting 2 symbols per lane step (8 literals/section-step). The real
+    (state, peek) table needs 1024 * n_syms entries (tANS coverage: each
+    symbol's states' [delta, delta + 2^k) intervals partition the state
+    space), i.e. 640+ chunks for text — this measures the 10x-smaller
+    hot-set restriction and still loses."""
+    _, glane, sec_id = lane_ids()
+    tab = tab_ref[:, :]
+    chunk = chunk_ref[:, :]
+    tw = 9216  # 1024 per-state words + 8192 pair entries per section
+
+    def body(s, i):
+        # pre-gather: per-state entry (k1, pair base) — 8 chunks
+        ent = lookup_chunks(tab, s & 1023, sec_id, 8, tw)
+        k1 = ent & 15
+        base = (ent >> 4) & 8191
+        # peek k1 bits via the compacted window funnel
+        ksum = k1 + masked_roll(k1, 1, glane)
+        ksum = ksum + masked_roll(ksum, 2, glane)
+        widx = (ksum + i) & 126
+        wlo = chunk_word_128(chunk, widx, sec_id).astype(jnp.uint32)
+        whi = chunk_word_128(chunk, widx + 1, sec_id).astype(jnp.uint32)
+        sh = (ksum & 31).astype(jnp.uint32)
+        val = (wlo >> sh) | jnp.where(sh == 0, jnp.uint32(0),
+                                      whi << (jnp.uint32(32) - sh))
+        b1 = (val & ((jnp.uint32(1) << k1.astype(jnp.uint32)) - 1)
+              ).astype(jnp.int32)
+        # pair-table gather: 64 chunks offset past the per-state words
+        pair = lookup_chunks(tab[:, :], (1024 + base + b1) & (tw - 1),
+                             sec_id, 64, tw)
+        sym2 = (pair >> 8) & 255
+        k2 = (pair >> 16) & 15
+        delta2 = (pair >> 20) & 1023
+        # second pull for state''
+        widx2 = (ksum + k2 + i) & 126
+        w2 = chunk_word_128(chunk, widx2, sec_id).astype(jnp.uint32)
+        b2 = (w2 & ((jnp.uint32(1) << k2.astype(jnp.uint32)) - 1)
+              ).astype(jnp.int32)
+        return (b2 + delta2 + sym2 + (pair & 255)) & 1023
+
+    return body
+
+
+def main_multisym():
+    """Round-5 multi-symbol feasibility anchors (FEASIBILITY_MULTISYM.md):
+    lookup cost vs table size, and the charitable hot-set pair step."""
+    timed("lookup 8ch (1024w, baseline)", lookup_only_n(8), 20_000)
+    timed("lookup 16ch (2048w)", lookup_only_n(16), 20_000,
+          tab_words=2048)
+    timed("lookup 32ch (4096w)", lookup_only_n(32), 10_000,
+          tab_words=4096)
+    timed("pair step 64ch (8 lit/step)", pair_step_64, 10_000,
+          tab_words=9216)
+
+
 def main():
+    if "--multisym" in sys.argv:
+        return main_multisym()
     timed("current step (1 vreg)", current_step, 20_000)
     timed("indep-roll step (1 vreg)", indep_roll_step, 20_000)
     timed("current step (2 vregs)", current_step, 20_000, n_vregs=2)
