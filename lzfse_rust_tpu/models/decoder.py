@@ -413,12 +413,23 @@ class TpuDecoder:
     """
 
     def __init__(self, use_pallas: bool | None = None,
-                 use_native_rebuild: bool | None = None):
+                 use_native_rebuild: bool | None = None,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh. When given, every decode_many
+        call shards its block batch across the mesh and runs the PRODUCTION
+        Pallas kernels under shard_map on each chip
+        (parallel/mesh.sharded_pallas_entropy_decode) — the composed
+        container-in -> bytes-out serving capability of SURVEY.md §7 stage
+        6 (per-chip decode; the padded gather back rides the mesh
+        collectives; host compaction/rebuild unchanged). Requires the
+        pallas walk path (use_pallas + native runtime)."""
         import jax
         import jax.numpy as jnp  # deferred so pure-spec users never pay
         self._jnp = jnp
+        self.mesh = mesh
         if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
+            use_pallas = (mesh is not None
+                          or jax.default_backend() not in ("cpu",))
         self.use_pallas = use_pallas
         if use_native_rebuild is None:
             try:
@@ -483,7 +494,10 @@ class TpuDecoder:
         _mark("parse")
 
         if nb:
-            B = _round_up(max(nb, R_ROWS), R_ROWS)
+            # mesh mode: every shard must be a whole number of kernel row
+            # groups, so the batch grain is R_ROWS * mesh.size
+            grain = R_ROWS * (self.mesh.size if self.mesh is not None else 1)
+            B = _round_up(max(nb, grain), grain)
             litn_b = np.zeros(B, np.int32)
             lmdn_b = np.zeros(B, np.int32)
             litn_b[:nb] = desc[:, 1]
@@ -567,12 +581,30 @@ class TpuDecoder:
             cat_dev = _concat_fn()(*cat_box)
             lit_words_dev = gather(cat_dev, start_l_d, w_words=lit_w_total)
             lmd_words_dev = gather(cat_dev, start_m_d, w_words=lmd_w_total)
-            lit_pk, lit_fs128, lit_fp128 = decode_literals_pallas(
-                u_sorted, lit_words_dev, lit_states_d, bl, nl, tot_d,
-                C.LITERALS_PER_BLOCK // 4)
-            lm_pk, d_pk, lmd_fs128, lmd_fp128 = decode_lmds_pallas(
-                v_sorted, lmd_words_dev, lmd_states_d, bm, nm,
-                C.LMDS_PER_BLOCK)
+            if self.mesh is not None:
+                # mesh serving path: identical kernels, identical inputs —
+                # the batch shards across the mesh and each chip decodes
+                # its slice under shard_map; the downstream compaction
+                # jit then gathers across shards (the padded-gather
+                # epilogue, SURVEY.md §7 stage 6)
+                from ..parallel.mesh import sharded_pallas_entropy_decode
+                arrays_p = dict(
+                    u3_tabs=u_sorted, v_tabs=v_sorted,
+                    lit_words=lit_words_dev, lmd_words=lmd_words_dev,
+                    lit_states=lit_states_d, lit_pos=bl, lit_num=nl,
+                    lit_tot=tot_d, lmd_states=lmd_states_d, lmd_pos=bm,
+                    lmd_num=nm)
+                (lit_pk, lm_pk, d_pk, lit_fs128, lit_fp128, lmd_fs128,
+                 lmd_fp128) = sharded_pallas_entropy_decode(
+                    self.mesh, arrays_p, C.LITERALS_PER_BLOCK // 4,
+                    C.LMDS_PER_BLOCK)
+            else:
+                lit_pk, lit_fs128, lit_fp128 = decode_literals_pallas(
+                    u_sorted, lit_words_dev, lit_states_d, bl, nl, tot_d,
+                    C.LITERALS_PER_BLOCK // 4)
+                lm_pk, d_pk, lmd_fs128, lmd_fp128 = decode_lmds_pallas(
+                    v_sorted, lmd_words_dev, lmd_states_d, bm, nm,
+                    C.LMDS_PER_BLOCK)
             # packed outputs travel as-is: the literal words ARE the
             # literal bytes little-endian, and the native rebuild consumes
             # lm = l|m<<16 plus raw d (repeat-zeros resolved inline) —
@@ -739,6 +771,10 @@ class TpuDecoder:
         if (self.use_pallas and self.use_native_rebuild
                 and native_mod is not None):
             return self._decode_many_walk(sources, stats, native_mod)
+        if self.mesh is not None:
+            raise ValueError(
+                "mesh-sharded decode runs on the pallas walk path: "
+                "use_pallas and the native runtime are required")
 
         fse_blocks: list[_FseBlockDesc] = []
         parsed = [_parse_container(s, i, fse_blocks)
