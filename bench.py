@@ -435,6 +435,11 @@ def main():
                     enc["value"] / ENC_BASELINE_GBPS, 2),
                 "frontend": enc.get("frontend"),
                 "stages_s": enc.get("stages_s"),
+                # labeled model: pipelined chunks overlap frontends with
+                # the async-dispatched emission kernels (see
+                # tools/bench_encode_e2e.py)
+                "pipeline_overlap_model": enc.get(
+                    "pipeline_overlap_model"),
             }
         except Exception as e:
             extra["encode_error"] = f"{type(e).__name__}: {e}"

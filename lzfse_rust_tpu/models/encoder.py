@@ -207,6 +207,18 @@ class TpuEncoder:
         tunneled harnesses transfer-inflated; the bench substitutes an
         in-jit device measurement), arbitrate (host re-extension +
         FIFO arbitration)."""
+        import os as _os
+        try:
+            from ..runtime import native as _nat
+            if (_nat.available()
+                    and _os.environ.get("LZT_DEV_GROUPED", "1") == "1"):
+                # sort-free path: host counting-sort grouping + no-sort
+                # device kernels (r5 redesign; the argsort path below is
+                # the no-native fallback)
+                return self._windows_compact_grouped(fulls, wins, vn,
+                                                     stats)
+        except ImportError:
+            pass
         import time as _time
         import jax.numpy as jnp
         from ..ops.match_find_tpu import find_matches_compact
@@ -269,6 +281,122 @@ class TpuEncoder:
                 dp = pos_h[r, S:K] + base
                 dc = cand_h[r, S:K] + base
                 dl = len_h[r, S:K]
+                out[k] = (np.concatenate([sp, dp]),
+                          np.concatenate([sc, dc]),
+                          np.concatenate([sl, dl]))
+            _mark("arbitrate")
+        return out
+
+    def _windows_compact_grouped(self, fulls: dict, wins: list, vn: bool,
+                                 stats: dict | None = None) -> dict:
+        """Sort-free batched window match finding (the r5 device-frontend
+        redesign, VERDICT r4 #2). The two ~100ms 1M-element XLA argsorts
+        that capped the device path at ~5 MB/s/window are gone:
+
+          host:   bucket grouping as a GIL-free native counting sort per
+                  window (runtime/native.match_group — the exact stable
+                  argsort-by-bucket replacement), pooled across windows;
+          device: candidate windows + LCP row gathers + FIFO strict-max
+                  arbitration with NO sorts, returning per-slot key bytes
+                  + packed rows (ops/match_find_tpu.
+                  find_matches_grouped_compact);
+          host:   reads the key bytes, then directs ONE bounded row-gather
+                  download at exactly the sat/matched slots it needs
+                  (take_packed_rows, ~1G rows/s).
+
+        Same return contract and byte-exact same match streams as
+        _windows_compact's argsort path (tests/test_tpu_encoder.py)."""
+        import concurrent.futures as _cf
+        import os as _os
+        import time as _time
+        import jax.numpy as jnp
+        from ..ops.match_find_tpu import (find_matches_grouped_compact,
+                                          take_sat_cols)
+        from ..runtime import native
+
+        _t0 = _time.perf_counter()
+
+        def _mark(key):
+            nonlocal _t0
+            t = _time.perf_counter()
+            if stats is not None:
+                stats[key] = stats.get(key, 0.0) + (t - _t0)
+            _t0 = t
+
+        by_n: dict = {}
+        for k, w in enumerate(wins):
+            by_n.setdefault(w[4], []).append(k)
+        out: dict = {}
+        for N, idxs in sorted(by_n.items()):
+            B = len(idxs)
+            pads = np.zeros((B, N), dtype=np.uint8)
+            n_reals = np.empty(B, np.int32)
+            los = np.empty(B, np.int32)
+            his = np.empty(B, np.int32)
+            for r, k in enumerate(idxs):
+                i, base, ctx, n, _ = wins[k]
+                pads[r, :n] = fulls[i][base:base + n]
+                n_reals[r] = n
+                los[r] = ctx
+                his[r] = ctx + WINDOW_STRIDE
+            # host grouping: GIL-free counting sorts, pooled across windows
+            orders = np.empty((B, N), np.int32)
+            oks = np.empty((B, N), np.uint8)
+
+            def _g(r):
+                orders[r], oks[r] = native.match_group(
+                    pads[r], int(n_reals[r]), vn)
+
+            if B > 1:
+                with _cf.ThreadPoolExecutor(
+                        min(B, _os.cpu_count() or 1)) as ex:
+                    list(ex.map(_g, range(B)))
+            else:
+                _g(0)
+            _mark("win_prep")
+            keys, bc, bl, cands_d, lcps_d = find_matches_grouped_compact(
+                jnp.asarray(pads), jnp.asarray(n_reals), jnp.asarray(los),
+                jnp.asarray(his), jnp.asarray(orders), jnp.asarray(oks),
+                vn)
+            keys_h = np.asarray(keys)
+            bc_h = np.asarray(bc)
+            bl_h = np.asarray(bl)
+            sat_idx = []
+            mat_idx = []
+            for r in range(B):
+                kr = keys_h[r]
+                sat_idx.append(np.flatnonzero(kr == 0).astype(np.int32))
+                mat_idx.append(np.flatnonzero(kr == 1).astype(np.int32))
+            # only the rare sat slots need their candidate columns; the
+            # bucketed width keeps the jit shape count bounded
+            smax = min(_bucket_pow2(
+                max(max((len(s) for s in sat_idx), default=1), 1), 1024), N)
+            idx9 = np.zeros((B, smax), np.int32)
+            for r in range(B):
+                idx9[r, :len(sat_idx[r])] = sat_idx[r]
+            cands_s, lcps_s = take_sat_cols(cands_d, lcps_d,
+                                            jnp.asarray(idx9))
+            cands_sh = np.asarray(cands_s)
+            lcps_sh = np.asarray(lcps_s)
+            if stats is not None:
+                stats["download_bytes"] = stats.get("download_bytes", 0) + (
+                    keys_h.nbytes + bc_h.nbytes + bl_h.nbytes
+                    + cands_sh.nbytes + lcps_sh.nbytes)
+            _mark("matchfind")
+            for r, k in enumerate(idxs):
+                i, base, ctx, n, _ = wins[k]
+                s_i, m_i = sat_idx[r], mat_idx[r]
+                S = len(s_i)
+                if S:
+                    sp, sc, sl = self._arbitrate_window(
+                        fulls[i], base, ctx, n,
+                        orders[r][s_i].astype(np.int64),
+                        cands_sh[r, :, :S], lcps_sh[r, :, :S], vn)
+                else:
+                    sp = sc = sl = np.zeros(0, np.int64)
+                dp = orders[r][m_i].astype(np.int64) + base
+                dc = bc_h[r][m_i].astype(np.int64) + base
+                dl = bl_h[r][m_i].astype(np.int64)
                 out[k] = (np.concatenate([sp, dp]),
                           np.concatenate([sc, dc]),
                           np.concatenate([sl, dl]))
@@ -522,6 +650,17 @@ class TpuEncoder:
         # the slack covers period-split alt slots (rare). On overflow the
         # native call errors and we retry with a doubled pool.
         bound = sum(len(sources[i]) // 40000 + 2 for i in big) + 32
+        # Pipeline chunking (VERDICT r4 #3): the batch splits into chunks;
+        # each chunk's emission kernels dispatch ASYNC right after its
+        # frontends close, so the device works on chunk c while the host
+        # pool runs chunk c+1's frontends. The serving wall becomes
+        # max(frontend, kernels) + one chunk drain instead of their sum
+        # (the sum-model metric is unchanged by design — bench_encode_e2e
+        # reports the overlap model next to it). Chunks stay big enough to
+        # fill the kernels' row groups.
+        n_chunks = int(_os.environ.get("LZT_ENC_CHUNKS", "0")) or (
+            4 if len(big) >= 16 else (2 if len(big) >= 4 else 1))
+        n_chunks = min(n_chunks, max(len(big), 1))
         while True:
             B = _bucket_pow2(bound, RE)
             bufs = _STAGE_CACHE.get(B)
@@ -536,81 +675,131 @@ class TpuEncoder:
                         np.zeros((B, 640), np.uint8),
                         np.zeros(B, np.int32))
                 _STAGE_CACHE[B] = bufs
+            weights_np, litw, lit_num, lmv, dv, lmd_num, meta, wpay, \
+                wpay_len = bufs
             counter = np.zeros(1, np.int64)
             out_lists = {i: np.zeros(len(sources[i]) // 40000 + 2,
                                      np.int32) for i in big}
             nb_of: dict = {}
+            pending: list = []
+
+            def bc(x):
+                return jnp.asarray(
+                    np.repeat(x[:, None], 128, 1).astype(np.int32))
+
             try:
-                if len(big) > 1:
-                    workers = min(len(big), _os.cpu_count() or 1)
-                    with _cf.ThreadPoolExecutor(workers) as ex:
-                        for i, nbase in zip(big, ex.map(
-                                lambda i: native.frontend_stage(
-                                    sources[i], bufs, counter,
-                                    out_lists[i]), big)):
-                            nb_of[i] = nbase
-                else:
-                    for i in big:
-                        nb_of[i] = native.frontend_stage(
-                            sources[i], bufs, counter, out_lists[i])
+                # balanced chunks: biggest sources spread round-robin
+                groups: list[list] = [[] for _ in range(n_chunks)]
+                for r, i in enumerate(
+                        sorted(big, key=lambda i: -len(sources[i]))):
+                    groups[r % n_chunks].append(i)
+                for grp in groups:
+                    s0 = int(counter[0])
+                    if len(grp) > 1:
+                        workers = min(len(grp), _os.cpu_count() or 1)
+                        with _cf.ThreadPoolExecutor(workers) as ex:
+                            for i, nbase in zip(grp, ex.map(
+                                    lambda i: native.frontend_stage(
+                                        sources[i], bufs, counter,
+                                        out_lists[i]), grp)):
+                                nb_of[i] = nbase
+                    else:
+                        for i in grp:
+                            nb_of[i] = native.frontend_stage(
+                                sources[i], bufs, counter, out_lists[i])
+                    s1 = int(counter[0])
+                    _mark("frontend")
+                    if s1 == s0:
+                        continue
+                    # dispatch this chunk's kernels on the pool window
+                    # [w0, w0+B2c): out-of-chunk rows ride along with their
+                    # step counts MASKED to zero (count vectors are fresh
+                    # copies — the pool is never mutated, so the next
+                    # chunk's frontends can keep writing slots >= s1 while
+                    # this upload is in flight)
+                    B2c = _bucket_pow2(s1 - s0, RE)
+                    w0 = min(s0, B - B2c)
+                    slots = np.arange(w0, w0 + B2c)
+                    inchunk = (slots >= s0) & (slots < s1)
+                    cnt_l = np.where(inchunk, lit_num[w0:w0 + B2c],
+                                     0).astype(np.int32)
+                    cnt_m = np.where(inchunk, lmd_num[w0:w0 + B2c],
+                                     0).astype(np.int32)
+                    perm_l = np.argsort(-cnt_l, kind="stable").astype(
+                        np.int32)
+                    perm_m = np.argsort(-cnt_m, kind="stable").astype(
+                        np.int32)
+                    _mark("emit_prep")
+                    e_l, e_m, e_d, e_u = build_encode_tables(
+                        jnp.asarray(weights_np[w0:w0 + B2c]))
+                    words = jnp.asarray(litw[w0:w0 + B2c].view("<i4"))
+                    glo, gmeta, lfs = encode_literals_pallas(
+                        jnp.take(e_u, jnp.asarray(perm_l), axis=0),
+                        jnp.take(words, jnp.asarray(perm_l), axis=0),
+                        bc(cnt_l[perm_l]), n_cols)
+                    mlo, mmeta, mfs = encode_lmds_pallas(
+                        jnp.take(e_l, jnp.asarray(perm_m), axis=0),
+                        jnp.take(e_m, jnp.asarray(perm_m), axis=0),
+                        jnp.take(e_d, jnp.asarray(perm_m), axis=0),
+                        jnp.take(jnp.asarray(lmv[w0:w0 + B2c]),
+                                 jnp.asarray(perm_m), axis=0),
+                        jnp.take(jnp.asarray(dv[w0:w0 + B2c]),
+                                 jnp.asarray(perm_m), axis=0),
+                        bc(cnt_m[perm_m]), n_cols)
+                    pending.append(
+                        (w0, s0, s1, np.argsort(perm_l), np.argsort(perm_m),
+                         glo, gmeta, lfs, mlo, mmeta, mfs))
+                    _mark("emit_dispatch")
                 break
             except Exception:
                 if bound > (1 << 20):
                     raise
                 bound *= 2
         nb = int(counter[0])
-        _mark("frontend")
 
-        weights_np, litw, lit_num, lmv, dv, lmd_num, meta, wpay, \
-            wpay_len = bufs
-        B2 = _bucket_pow2(nb, RE)
-        # cache-reused pools carry stale counts above the used slots; the
-        # kernels mask stale CONTENT (active = step < num) but the counts
-        # drive the group metadata, so zero them
-        lit_num[nb:B2] = 0
-        lmd_num[nb:B2] = 0
-        ln2 = lit_num[:B2]
-        mn2 = lmd_num[:B2]
-        perm_l = np.argsort(-ln2, kind="stable").astype(np.int32)
-        perm_m = np.argsort(-mn2, kind="stable").astype(np.int32)
-        _mark("emit_prep")
-
-        e_l, e_m, e_d, e_u = build_encode_tables(
-            jnp.asarray(weights_np[:B2]))
-
-        def bc(x):
-            return jnp.asarray(
-                np.repeat(x[:, None], 128, 1).astype(np.int32))
-
-        words = jnp.asarray(litw[:B2].view("<i4"))
-        glo, gmeta, lfs = encode_literals_pallas(
-            jnp.take(e_u, jnp.asarray(perm_l), axis=0),
-            jnp.take(words, jnp.asarray(perm_l), axis=0),
-            bc(ln2[perm_l]), n_cols)
-        mlo, mmeta, mfs = encode_lmds_pallas(
-            jnp.take(e_l, jnp.asarray(perm_m), axis=0),
-            jnp.take(e_m, jnp.asarray(perm_m), axis=0),
-            jnp.take(e_d, jnp.asarray(perm_m), axis=0),
-            jnp.take(jnp.asarray(lmv[:B2]), jnp.asarray(perm_m), axis=0),
-            jnp.take(jnp.asarray(dv[:B2]), jnp.asarray(perm_m), axis=0),
-            bc(mn2[perm_m]), n_cols)
-        inv_l = np.argsort(perm_l)
-        inv_m = np.argsort(perm_m)
         cc = lambda x, p: np.ascontiguousarray(np.asarray(x)[p], np.int32)
-        glo = cc(glo, inv_l)
-        gmeta = cc(gmeta, inv_l)
-        lfs = cc(lfs, inv_l)
-        mlo = cc(mlo, inv_m)
-        mmeta = cc(mmeta, inv_m)
-        mfs = cc(mfs, inv_m)
+        if len(pending) == 1 and pending[0][0] == 0:
+            # single chunk: the downloaded window IS the full slot space
+            (_, _, _, inv_l, inv_m, glo_d, gmeta_d, lfs_d, mlo_d, mmeta_d,
+             mfs_d) = pending[0]
+            glo = cc(glo_d, inv_l)
+            gmeta = cc(gmeta_d, inv_l)
+            lfs = cc(lfs_d, inv_l)
+            mlo = cc(mlo_d, inv_m)
+            mmeta = cc(mmeta_d, inv_m)
+            mfs = cc(mfs_d, inv_m)
+        else:
+            # assemble the chunks' slot ranges into full slot-ordered
+            # arrays for the one-call native pack
+            Bp = _bucket_pow2(max(nb, 1), RE)
+            wsh = lambda a: (Bp, int(a.shape[1]))
+            g0 = pending[0]
+            glo = np.zeros(wsh(g0[5]), np.int32)
+            gmeta = np.zeros(wsh(g0[6]), np.int32)
+            lfs = np.zeros(wsh(g0[7]), np.int32)
+            mlo = np.zeros(wsh(g0[8]), np.int32)
+            mmeta = np.zeros(wsh(g0[9]), np.int32)
+            mfs = np.zeros(wsh(g0[10]), np.int32)
+            for (w0, s0, s1, inv_l, inv_m, glo_d, gmeta_d, lfs_d, mlo_d,
+                 mmeta_d, mfs_d) in pending:
+                lo, hi = s0 - w0, s1 - w0
+                glo[s0:s1] = cc(glo_d, inv_l)[lo:hi]
+                gmeta[s0:s1] = cc(gmeta_d, inv_l)[lo:hi]
+                lfs[s0:s1] = cc(lfs_d, inv_l)[lo:hi]
+                mlo[s0:s1] = cc(mlo_d, inv_m)[lo:hi]
+                mmeta[s0:s1] = cc(mmeta_d, inv_m)[lo:hi]
+                mfs[s0:s1] = cc(mfs_d, inv_m)[lo:hi]
+        if stats is not None:
+            stats["pipeline_chunks"] = len(pending)
         _mark("emit_kernels")
 
         # one native call packs every slot's group streams AND assembles
         # the complete Vx2 bodies, parallel across the worker pool
-        arena = _STAGE_CACHE.get(("arena", B2))
+        Ba = _bucket_pow2(max(nb, 1), RE)
+        arena = _STAGE_CACHE.get(("arena", Ba))
         if arena is None:
-            arena = np.empty(B2 * native.PACK_SLOT_CAP, np.uint8)
-            _STAGE_CACHE[("arena", B2)] = arena
+            arena = np.empty(Ba * native.PACK_SLOT_CAP, np.uint8)
+            _STAGE_CACHE[("arena", Ba)] = arena
         lens = np.zeros(max(nb, 1), np.int64)
         native.pack_stage(glo, gmeta, mlo, mmeta, lfs, mfs, lit_num,
                           lmd_num, meta, wpay, wpay_len, nb, arena, lens)

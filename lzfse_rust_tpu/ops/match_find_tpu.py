@@ -116,6 +116,107 @@ def find_matches_device(src_pad: jnp.ndarray, n_real: jnp.ndarray, vn: bool):
     return pos, jnp.stack(cands), jnp.stack(lcps)
 
 
+def _grouped_core(src_pad, n_real, order, ok):
+    """Candidate + first-window-LCP pipeline with the bucket grouping
+    precomputed on host (native tl_match_group's stable counting sort ==
+    the argsort this replaces; see runtime/native.match_group). No device
+    sort anywhere — the ~100ms/1M-element XLA argsort was the device
+    frontend's bottleneck (STATUS.md r4). order: (N,) int32 grouped
+    positions; ok: (N,) uint8 masks, bit r-1 set when order[slot-r] is a
+    valid candidate (same bucket, distance <= max_d). Output contract as
+    find_matches_device (unprobed positions simply carry no candidates)."""
+    pos = order
+    cap = n_real - pos
+    wf = _windows_fwd(src_pad)
+    # ONE row gather for the whole window: in grouped order, candidate r
+    # of slot s is slot s-r, so every candidate's forward window is just
+    # roll(a, r) along the slot axis — an aligned shift instead of the
+    # four extra 1M-row gathers (row gathers measure ~9ms/1M rows on v5e,
+    # tools/microbench_rowgather.py; they were 5/5 of the probe cost)
+    a = jnp.take(wf, pos, axis=0)
+    cands = []
+    lcps = []
+    for r in range(1, C.HASH_WIDTH + 1):
+        cand = jnp.roll(order, r)
+        okr = ((ok >> (r - 1)) & 1) != 0
+        b = jnp.roll(a, r, axis=0)
+        lcp = jnp.clip(_first_mismatch(a, b), 0, cap)
+        lcp = jnp.where(okr, lcp, 0)
+        cands.append(jnp.where(okr, cand, -1))
+        lcps.append(lcp)
+    return pos, jnp.stack(cands), jnp.stack(lcps)
+
+
+@functools.partial(jax.jit, static_argnames=("vn",))
+def find_matches_grouped(src_pad: jnp.ndarray, n_real: jnp.ndarray,
+                         order: jnp.ndarray, ok: jnp.ndarray, vn: bool):
+    """Sort-free single-window variant of find_matches_device (vn selects
+    the 3-byte match-unit arbitration downstream; the masks already encode
+    the vn hash/distance rules)."""
+    del vn  # semantics ride in the host-computed masks; kept for symmetry
+    return _grouped_core(src_pad, n_real, order, ok)
+
+
+def _grouped_compact_one(src_pad, n_real, lo, hi, order, ok, vn: bool):
+    """Sort-free arbitration for one window: same FIFO strict-max decision
+    as _compact_one but NO device partition sort and NO narrow-minor-dim
+    packing (small trailing dims pad to full 128-lane tiles on TPU — a
+    first cut that packed (N, 3)/(N, 9) row matrices measured 4x slower
+    than this flat-vector layout). The kernel returns flat (N,) vectors in
+    grouped-slot space: the host already holds `order` (it built it), so
+    a matched slot's (pos, cand, len) come from (order, best_cand,
+    best_len) directly, and only the rare sat slots need a device gather
+    of their candidate columns (take_sat_cols)."""
+    pos, cands, lcps = _grouped_core(src_pad, n_real, order, ok)
+    best_len = jnp.zeros_like(pos)
+    best_cand = jnp.zeros_like(pos)
+    sat = jnp.zeros(pos.shape, bool)
+    for r in range(cands.shape[0]):
+        cand = cands[r]
+        lcp = lcps[r]
+        okc = cand >= 0
+        if vn:
+            mlen = jnp.where(lcp >= 4, lcp, jnp.where(lcp == 3, 3, 0))
+        else:
+            mlen = jnp.where(lcp >= 4, lcp, 0)
+        mlen = jnp.where(okc, mlen, 0)
+        sat = sat | (okc & ((lcp == WINDOW) | (pos + lcp >= n_real)))
+        take = mlen > best_len
+        best_len = jnp.where(take, mlen, best_len)
+        best_cand = jnp.where(take, cand, best_cand)
+    payload = (pos >= lo) & (pos < hi)
+    sat = payload & sat
+    matched = payload & ((best_len > 0) | sat)
+    key = jnp.where(sat, 0, jnp.where(matched, 1, 2)).astype(jnp.uint8)
+    return key, best_cand, best_len, cands, lcps
+
+
+@functools.partial(jax.jit, static_argnames=("vn",))
+def find_matches_grouped_compact(src_pads, n_reals, los, his, orders, oks,
+                                 vn: bool):
+    """Batched sort-free window match finding (see _grouped_compact_one).
+    Returns (keys (B,N) uint8, best_cand (B,N), best_len (B,N),
+    cands (B,HASH_WIDTH,N), lcps (B,HASH_WIDTH,N)); the candidate arrays
+    stay device-resident for the host-directed take_sat_cols gather."""
+    return jax.vmap(
+        lambda s, n, lo, hi, o, k: _grouped_compact_one(s, n, lo, hi, o, k,
+                                                        vn),
+        in_axes=(0, 0, 0, 0, 0, 0))(src_pads, n_reals, los, his, orders,
+                                     oks)
+
+
+@jax.jit
+def take_sat_cols(cands, lcps, idx):
+    """Host-directed download of the rare window-saturated slots' candidate
+    columns. cands/lcps: (B, HASH_WIDTH, N); idx: (B, S) int32 (slot
+    indices, zero-padded). Element gathers are slow on TPU (~85M elem/s)
+    but S is small — sat rows are the exception set re-extended exactly on
+    host."""
+    take = lambda a, i: jax.vmap(
+        lambda a2, i1: jnp.take(a2, i1, axis=1))(a, i)
+    return take(cands, idx), take(lcps, idx)
+
+
 @functools.partial(jax.jit, static_argnames=("vn",))
 def find_matches_batch(src_pads: jnp.ndarray, n_reals: jnp.ndarray,
                        vn: bool):

@@ -136,6 +136,10 @@ def _configure(lib) -> None:
     lib.tl_block_weights.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t]
+    lib.tl_match_group.restype = ctypes.c_longlong
+    lib.tl_match_group.argtypes = [
+        ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
     lib.tl_enc_new.restype = ctypes.c_void_p
     lib.tl_enc_new.argtypes = []
     lib.tl_enc_free.restype = None
@@ -508,6 +512,29 @@ def pack_stage(glo, gmeta, mlo, mmeta, lfs, mfs, lit_num, lmd_num, meta4,
         vp(arena), PACK_SLOT_CAP, vp(lens))
     if rc != 0:
         raise LzfseError(f"pack_stage failed: {rc}")
+
+
+def match_group(src_pad, n_real: int, vn: bool):
+    """Stable bucket grouping + candidate masks for one padded match
+    window — the sort-free device frontend's host pass (tl_match_group,
+    GIL-free: the linear counting sort reproduces the device path's
+    stable argsort-by-bucket exactly, see find_matches_device). Returns
+    (order int32[N] grouped positions, ok uint8[N] bitmasks: bit r-1 set
+    when order[slot-r] is a valid candidate of order[slot])."""
+    import ctypes
+    import numpy as np
+    lib = _lib()
+    src_pad = np.ascontiguousarray(src_pad, dtype=np.uint8)
+    N = len(src_pad)
+    order = np.empty(N, np.int32)
+    ok = np.empty(N, np.uint8)
+    rc = lib.tl_match_group(
+        src_pad.ctypes.data_as(ctypes.c_void_p), N, int(n_real),
+        1 if vn else 0, order.ctypes.data_as(ctypes.c_void_p),
+        ok.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise RuntimeError(f"tl_match_group failed: {rc}")
+    return order, ok
 
 
 def select_blocks(src: bytes, stream_rows):

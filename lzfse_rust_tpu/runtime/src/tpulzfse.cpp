@@ -3201,6 +3201,60 @@ long long tl_gather_payloads(const char* const* srcs, const int* desc,
   return 0;
 }
 
+// Sort-free device-frontend support: stable counting sort of one padded
+// match window's positions by hash bucket, plus per-slot candidate masks.
+// Replaces the device path's two ~100ms 1M-element XLA argsorts with one
+// linear GIL-free host pass (~4ms/MiB). Semantics mirror
+// ops/match_find_tpu.find_matches_device exactly (which mirrors the
+// reference history table, src/encode/history.rs:24-31): positions
+// 0..n_real-4 are probed (Knuth hash of the LE u32 at the position);
+// unprobed positions group after every real bucket; inside a bucket
+// positions ascend (stable counting sort == stable argsort by bucket).
+// ok_out[slot] bit r-1 set <=> order_out[slot-r] is a valid candidate of
+// order_out[slot] (same bucket, distance <= max_d). Returns 0.
+long long tl_match_group(const char* src_c, long long n_pad,
+                         long long n_real, int vn,
+                         int32_t* order_out, uint8_t* ok_out) {
+  const uint8_t* src = (const uint8_t*)src_c;
+  const int64_t N = n_pad;
+  const int64_t probe_hi = n_real - 4;  // last probed position (inclusive)
+  const uint32_t max_d = vn ? 0xFFFF : MAX_D;
+  constexpr int NB = 1 << HASH_BITS;
+  std::vector<uint16_t> bucket(N);
+  std::vector<int32_t> counts(NB + 2, 0);
+  for (int64_t i = 0; i < N; i++) {
+    uint16_t b;
+    if (i <= probe_hi) {
+      uint32_t v;
+      memcpy(&v, src + i, 4);
+      b = (uint16_t)(vn ? hash_vn(v) : hash_fse(v));
+    } else {
+      b = NB;  // reserved bucket: never matches
+    }
+    bucket[i] = b;
+    counts[b + 1]++;
+  }
+  for (int b = 0; b <= NB; b++) counts[b + 1] += counts[b];
+  std::vector<int32_t> off(counts.begin(), counts.end() - 1);
+  for (int64_t i = 0; i < N; i++) order_out[off[bucket[i]]++] = (int32_t)i;
+  for (int64_t s = 0; s < N; s++) {
+    int32_t p = order_out[s];
+    uint16_t b = bucket[p];
+    uint8_t m = 0;
+    if (b != NB) {
+      for (int64_t r = 1; r <= HASH_WIDTH && r <= s; r++) {
+        int32_t c = order_out[s - r];
+        // grouped order: a bucket mismatch or an out-of-range distance
+        // (positions ascend inside a bucket) is monotone in r — stop
+        if (bucket[c] != b || (int64_t)p - c > (int64_t)max_d) break;
+        m |= (uint8_t)(1 << (r - 1));
+      }
+    }
+    ok_out[s] = m;
+  }
+  return 0;
+}
+
 // Streaming decode handles (reference pull/push streaming object roles:
 // LzfseRingDecoder / LzfseReader, src/decode/reader.rs + reader_core.rs).
 // push returns bytes consumed (may be < n only under output backpressure);

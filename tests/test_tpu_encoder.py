@@ -141,3 +141,69 @@ def test_staged_serving_path_byte_identity(snappy_dir, monkeypatch):
     out = enc._encode_many_staged(srcs, big, results)
     for i in big:
         assert out[i] == native.encode_bytes(srcs[i]), i
+
+
+def test_grouped_windows_match_sorted_path(monkeypatch):
+    """The sort-free grouped window path (native counting-sort grouping +
+    no-sort device kernels, r5) must return exactly the argsort path's
+    per-window match streams — same sat re-extension set, same winners."""
+    from lzfse_rust_tpu.models.encoder import TpuEncoder
+    from lzfse_rust_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime not built")
+
+    rng = np.random.default_rng(41)
+    words = [bytes(rng.integers(97, 110, int(rng.integers(2, 7)),
+                                dtype=np.uint8)) for _ in range(16)]
+    data = b" ".join(words[int(i)] for i in rng.integers(0, 16, 2500))
+    full = np.frombuffer(data, np.uint8)
+    enc = TpuEncoder()
+    wins = []
+    for start in range(0, len(data), 2048):
+        base, ctx = max(start - 1024, 0), min(start, 1024)
+        n = min(len(data), start + 2048 + 3) - base
+        wins.append((0, base, ctx, n, 8192))
+    for vn in (False, True):
+        got = enc._windows_compact_grouped({0: full}, wins, vn)
+        monkeypatch.setenv("LZT_DEV_GROUPED", "0")
+        want = enc._windows_compact({0: full}, wins, vn)
+        monkeypatch.setenv("LZT_DEV_GROUPED", "1")
+        assert got.keys() == want.keys()
+        for k in want:
+            for a, b in zip(got[k], want[k]):
+                assert np.array_equal(a, b), k
+
+
+def test_staged_pipeline_chunked_byte_identity(snappy_dir, monkeypatch):
+    """The chunked (pipelined) staged serving path must stay byte-identical
+    to the native encoder: chunk kernel dispatches cover pool windows with
+    masked counts, and the one-call pack consumes the reassembled slot
+    arrays."""
+    from jax.experimental import pallas as pl
+
+    from lzfse_rust_tpu.base import constants as C
+    from lzfse_rust_tpu.models.encoder import TpuEncoder
+    from lzfse_rust_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime not built")
+    real_call = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **k: real_call(*a, **{**k, "interpret": True}))
+    monkeypatch.setenv("LZT_ENC_CHUNKS", "3")
+
+    html = native.decode_bytes((snappy_dir / "html.lzfse").read_bytes())
+    alice = native.decode_bytes(
+        (snappy_dir / "alice29.txt.lzfse").read_bytes())
+    rng = np.random.default_rng(11)
+    pat = rng.integers(0, 256, 13, dtype=np.uint8).tobytes()
+    reps = (pat * (45000 // 13 + 1))[:45000]  # period-13: alt eligible
+    srcs = [html[:50000], alice[:60000], reps, html[:8000], alice[:30000]]
+    big = [i for i, s in enumerate(srcs) if len(s) > C.VN_CUTOFF]
+    enc = TpuEncoder(device_emission=True, frontend="native")
+    results: list = [None] * len(srcs)
+    out = enc._encode_many_staged(srcs, big, results)
+    for i in big:
+        assert out[i] == native.encode_bytes(srcs[i]), i

@@ -52,11 +52,16 @@ def _injit_pair(fn_build, args, n_lo=1, n_hi=5):
 
 
 def device_matchfind_injit(enc, sources, big):
-    """In-jit repetition timing of find_matches_compact over the batch's
-    real window buckets (the exact dispatches encode_many issues)."""
+    """In-jit repetition timing of the sort-free grouped window kernels
+    over the batch's real window buckets (the exact dispatches
+    encode_many's device frontend issues since r5), plus the host
+    grouping pass it overlaps with. Returns (device_injit_s,
+    host_group_s)."""
     import jax
     import jax.numpy as jnp
-    from lzfse_rust_tpu.ops.match_find_tpu import find_matches_compact
+    from lzfse_rust_tpu.ops.match_find_tpu import (
+        find_matches_grouped_compact)
+    from lzfse_rust_tpu.runtime import native
 
     wins = []
     fulls = {i: np.frombuffer(sources[i], dtype=np.uint8) for i in big}
@@ -70,30 +75,40 @@ def device_matchfind_injit(enc, sources, big):
         by_n.setdefault(w[4], []).append(k)
 
     @functools.partial(jax.jit, static_argnames="n_rep")
-    def pipe(P, NR, LO, HI, n_rep):
+    def pipe(P, NR, LO, HI, O, K8, n_rep):
         def body(r, acc):
-            counts, pos, cand, ln, cands, lcps = find_matches_compact(
-                P, NR + r - r, LO, HI, False)
-            return (acc + jnp.sum(counts) + jnp.sum(pos) + jnp.sum(cand)
-                    + jnp.sum(ln) + jnp.sum(cands) + jnp.sum(lcps))
+            keys, bc, bl, cands, lcps = find_matches_grouped_compact(
+                P + (r - r).astype(jnp.uint8), NR + r - r, LO, HI,
+                O + r - r, K8, False)
+            return (acc + jnp.sum(keys.astype(jnp.int32)) + jnp.sum(bc)
+                    + jnp.sum(bl) + jnp.sum(cands) + jnp.sum(lcps))
         return jax.lax.fori_loop(0, n_rep, body, jnp.int64(0))
 
     total = 0.0
+    t_group = 0.0
     for N, idxs in sorted(by_n.items()):
-        pads = np.zeros((len(idxs), N), dtype=np.uint8)
-        n_reals = np.empty(len(idxs), np.int32)
-        los = np.empty(len(idxs), np.int32)
-        his = np.empty(len(idxs), np.int32)
+        B = len(idxs)
+        pads = np.zeros((B, N), dtype=np.uint8)
+        n_reals = np.empty(B, np.int32)
+        los = np.empty(B, np.int32)
+        his = np.empty(B, np.int32)
         for r, k in enumerate(idxs):
             i, base, ctx, n, _ = wins[k]
             pads[r, :n] = fulls[i][base:base + n]
             n_reals[r] = n
             los[r] = ctx
             his[r] = ctx + WINDOW_STRIDE
+        orders = np.empty((B, N), np.int32)
+        oks = np.empty((B, N), np.uint8)
+        t0 = time.time()
+        for r in range(B):
+            orders[r], oks[r] = native.match_group(pads[r],
+                                                   int(n_reals[r]), False)
+        t_group += time.time() - t0
         args = (jnp.asarray(pads), jnp.asarray(n_reals), jnp.asarray(los),
-                jnp.asarray(his))
+                jnp.asarray(his), jnp.asarray(orders), jnp.asarray(oks))
         total += _injit_pair(pipe, args)
-    return total
+    return total, t_group
 
 
 def device_emission_injit(enc, sources, big):
@@ -216,6 +231,27 @@ def main():
         },
         "wall_emit_kernels_s": round(low("emit_kernels"), 4),
     }
+    # Pipelined-serving model, reported NEXT TO (not replacing) the
+    # sum-model headline: _encode_many_staged dispatches each chunk's
+    # emission kernels async right after its frontends close, so on
+    # non-tunneled hardware the wall is (F+K)/n + (n-1)/n*max(F,K) + the
+    # serial stages (balanced chunks; F = pooled frontend host time, K =
+    # emission kernels in-jit). The tunnel's seconds-scale RTTs make the
+    # overlapped wall unmeasurable here (bench.py header), hence a model,
+    # clearly labeled. emit_dispatch (host upload cost of the async
+    # dispatches) is included in the serial part.
+    n_ch = int(runs[-1].get("pipeline_chunks", 1))
+    if n_ch > 1:
+        F, K = host["frontend"], t_em
+        t_disp = low("emit_dispatch")
+        serial = host["small"] + host["emit_prep"] + host["pack"] + t_disp
+        t_pipe = (F + K) / n_ch + (n_ch - 1) / n_ch * max(F, K) + serial
+        out["pipeline_overlap_model"] = {
+            "chunks": n_ch,
+            "wall_model_s": round(t_pipe, 4),
+            "GBps": round(total_raw / t_pipe / 1e9, 4),
+            "emit_dispatch_s": round(t_disp, 4),
+        }
     # the fully offloaded device-matchfind architecture, measured on
     # request (kept for hardware where XLA sort is not the bottleneck)
     if os.environ.get("LZT_ENC_DEVFE", "0") == "1":
@@ -229,11 +265,12 @@ def main():
         t_host_d = sum(low_d(k) for k in (
             "small", "win_prep", "arbitrate", "merge", "select",
             "emit_prep", "pack"))
-        t_mf = device_matchfind_injit(enc_d, batch, big)
+        t_mf, t_group = device_matchfind_injit(enc_d, batch, big)
         out["device_frontend"] = {
             "full_encode_GBps_chip": round(
                 total_raw / (t_host_d + t_mf + t_em) / 1e9, 4),
             "matchfind_injit_s": round(t_mf, 4),
+            "host_group_s": round(t_group, 4),  # inside win_prep wall too
             "host_s": round(t_host_d, 4),
             "candidate_download_bytes": int(
                 runs_d[0].get("download_bytes", 0)),
