@@ -97,13 +97,22 @@ class TpuEncoder:
     byte-identical to the native/spec encoders at every size."""
 
     def __init__(self, device_emission: bool | None = None,
-                 frontend: str | None = None):
+                 frontend: str | None = None, mesh=None):
+        """mesh: optional jax.sharding.Mesh. With frontend="device", the
+        match-finder window batch of every encode shards across the mesh
+        and each chip runs the sort-free grouped probe kernels under
+        shard_map (parallel/mesh.sharded_grouped_match) — the encode-side
+        composed multi-chip capability (SURVEY.md §7 stage 6; windows are
+        independent, each carrying its own history context)."""
         import jax
         import jax.numpy as jnp
         self._jnp = jnp
+        self.mesh = mesh
         if device_emission is None:
             device_emission = jax.default_backend() not in ("cpu",)
         self.device_emission = device_emission
+        if mesh is not None and frontend is None:
+            frontend = "device"
         if frontend is None:
             try:
                 from ..runtime import native
@@ -354,13 +363,37 @@ class TpuEncoder:
             else:
                 _g(0)
             _mark("win_prep")
-            keys, bc, bl, cands_d, lcps_d = find_matches_grouped_compact(
-                jnp.asarray(pads), jnp.asarray(n_reals), jnp.asarray(los),
-                jnp.asarray(his), jnp.asarray(orders), jnp.asarray(oks),
-                vn)
-            keys_h = np.asarray(keys)
-            bc_h = np.asarray(bc)
-            bl_h = np.asarray(bl)
+            if self.mesh is not None:
+                # shard the window batch across the mesh (pad with empty
+                # windows to a whole number of shards; ok=0 and an empty
+                # payload range make pad rows inert)
+                from ..parallel.mesh import sharded_grouped_match
+                ms = self.mesh.size
+                Bk = -(-B // ms) * ms
+                if Bk != B:
+                    pad = Bk - B
+                    pads = np.concatenate(
+                        [pads, np.zeros((pad, N), np.uint8)])
+                    n_reals = np.concatenate(
+                        [n_reals, np.full(pad, 4, np.int32)])
+                    los = np.concatenate([los, np.zeros(pad, np.int32)])
+                    his = np.concatenate([his, np.zeros(pad, np.int32)])
+                    orders = np.concatenate(
+                        [orders, np.tile(np.arange(N, dtype=np.int32),
+                                         (pad, 1))])
+                    oks = np.concatenate(
+                        [oks, np.zeros((pad, N), np.uint8)])
+                keys, bc, bl, cands_d, lcps_d = sharded_grouped_match(
+                    self.mesh, pads, n_reals, los, his, orders, oks, vn)
+            else:
+                Bk = B
+                keys, bc, bl, cands_d, lcps_d = find_matches_grouped_compact(
+                    jnp.asarray(pads), jnp.asarray(n_reals),
+                    jnp.asarray(los), jnp.asarray(his),
+                    jnp.asarray(orders), jnp.asarray(oks), vn)
+            keys_h = np.asarray(keys)[:B]
+            bc_h = np.asarray(bc)[:B]
+            bl_h = np.asarray(bl)[:B]
             sat_idx = []
             mat_idx = []
             for r in range(B):
@@ -371,7 +404,7 @@ class TpuEncoder:
             # bucketed width keeps the jit shape count bounded
             smax = min(_bucket_pow2(
                 max(max((len(s) for s in sat_idx), default=1), 1), 1024), N)
-            idx9 = np.zeros((B, smax), np.int32)
+            idx9 = np.zeros((Bk, smax), np.int32)  # Bk >= B: mesh padding
             for r in range(B):
                 idx9[r, :len(sat_idx[r])] = sat_idx[r]
             cands_s, lcps_s = take_sat_cols(cands_d, lcps_d,
@@ -650,17 +683,19 @@ class TpuEncoder:
         # the slack covers period-split alt slots (rare). On overflow the
         # native call errors and we retry with a doubled pool.
         bound = sum(len(sources[i]) // 40000 + 2 for i in big) + 32
-        # Pipeline chunking (VERDICT r4 #3): the batch splits into chunks;
-        # each chunk's emission kernels dispatch ASYNC right after its
-        # frontends close, so the device works on chunk c while the host
-        # pool runs chunk c+1's frontends. The serving wall becomes
-        # max(frontend, kernels) + one chunk drain instead of their sum
-        # (the sum-model metric is unchanged by design — bench_encode_e2e
-        # reports the overlap model next to it). Chunks stay big enough to
-        # fill the kernels' row groups.
-        n_chunks = int(_os.environ.get("LZT_ENC_CHUNKS", "0")) or (
-            4 if len(big) >= 16 else (2 if len(big) >= 4 else 1))
-        n_chunks = min(n_chunks, max(len(big), 1))
+        # Pipeline chunking: the batch splits into chunks; each chunk's
+        # emission kernels dispatch ASYNC right after its frontends close,
+        # so the device works on chunk c while the host pool runs chunk
+        # c+1's frontends. DEFAULT OFF — the r5 hardware A/B on this
+        # 4-core box measured a NET LOSS (corpus x4: frontend 45.8 ->
+        # 72.5 ms from per-chunk pool straggler makespans, + the chunk
+        # uploads serialize between pools at 39.6 ms, vs only 17 ms of
+        # kernel time available to overlap; sum-model 0.18 -> 0.126
+        # GB/s). The capability stays byte-identical and tested
+        # (LZT_ENC_CHUNKS) for hosts with enough cores that the frontend
+        # pool is not memory-bandwidth starved.
+        n_chunks = int(_os.environ.get("LZT_ENC_CHUNKS", "1"))
+        n_chunks = min(max(n_chunks, 1), max(len(big), 1))
         while True:
             B = _bucket_pow2(bound, RE)
             bufs = _STAGE_CACHE.get(B)

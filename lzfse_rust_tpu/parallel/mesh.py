@@ -163,6 +163,34 @@ def sharded_pallas_entropy_decode(mesh: Mesh, arrays: dict, n_lit_steps: int,
     return run(*(put(arrays[k]) for k in keys))
 
 
+def sharded_grouped_match(mesh: Mesh, pads, n_reals, los, his, orders, oks,
+                          vn: bool = False, axis: str = "blocks"):
+    """Multi-chip encode front end over the r5 sort-free grouped kernels:
+    the window batch shards across the mesh and each chip runs the
+    no-sort probe + arbitration (ops/match_find_tpu.
+    find_matches_grouped_compact) on its shard under shard_map. Windows
+    are independent (each carries its own history context), so no
+    collectives run until the caller's gather/epilogue. The window count
+    must be divisible by the mesh size (callers pad with empty windows)."""
+    from jax import shard_map
+
+    from ..ops.match_find_tpu import find_matches_grouped_compact
+
+    sh = shard_batch(mesh, axis)
+    put = lambda x: jax.device_put(jnp.asarray(x), sh)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=tuple(P(axis) for _ in range(6)),
+        out_specs=tuple(P(axis) for _ in range(5)),
+        check_vma=False)
+    def run(p, nr, lo, hi, o, k):
+        return find_matches_grouped_compact(p, nr, lo, hi, o, k, vn)
+
+    return run(put(pads), put(n_reals), put(los), put(his), put(orders),
+               put(oks))
+
+
 def gather_compressed(mesh: Mesh, padded_blocks, lengths, axis: str = "blocks"):
     """Ordered all-gather of fixed-capacity compressed blocks + true lengths.
 

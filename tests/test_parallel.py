@@ -184,3 +184,29 @@ def test_tpu_decoder_mesh_end_to_end(mesh, monkeypatch):
     assert stats.get("fallbacks", 0) == 0
     for src, out in zip(sources, outs):
         assert bytes(out) == spec_container.decode_bytes(src)
+
+
+def test_tpu_encoder_mesh_end_to_end(mesh):
+    """TpuEncoder(mesh=...): the device-frontend window batch shards
+    across the mesh (sort-free grouped kernels under shard_map) and the
+    encode output stays byte-identical to the spec encoder."""
+    import lzfse_rust_tpu.models.decoder as M
+    from lzfse_rust_tpu.models.encoder import TpuEncoder
+    from lzfse_rust_tpu.spec.frontend import encode_bytes as spec_encode
+
+    if M._native_mod() is None:
+        pytest.skip("native runtime not built")
+
+    rng = np.random.default_rng(43)
+    words = [bytes(rng.integers(97, 123, int(rng.integers(2, 9)),
+                                dtype=np.uint8)) for _ in range(64)]
+    sources = [
+        b" ".join(words[int(i)] for i in rng.integers(0, 64, 1200)),
+        b" ".join(words[int(i)] for i in rng.integers(0, 64, 5000)),
+        bytes(rng.integers(0, 256, 9000, dtype=np.uint8)),
+    ]
+    enc = TpuEncoder(device_emission=False, mesh=mesh)
+    assert enc.frontend == "device"
+    got = enc.encode_many(sources)
+    for s, g in zip(sources, got):
+        assert g == spec_encode(s)

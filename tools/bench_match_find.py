@@ -19,11 +19,19 @@ src[:len(data)] = np.frombuffer(data, np.uint8)
 S = jnp.asarray(src)
 n = jnp.int32(len(data))
 
+def dep(acc):
+    """Iteration-to-iteration data dependency XLA cannot fold (the
+    `X + r - r` idiom is structurally zero and lets the whole body hoist
+    out of the fori_loop — observed as ~0/negative deltas). Runtime 0."""
+    return jnp.where(acc == jnp.int32(-123456789), jnp.int32(1),
+                     jnp.int32(0))
+
+
 @functools.partial(jax.jit, static_argnames="n_rep")
 def pipe(S, n, n_rep):
     def body(r, acc):
-        pos, cands, lcps = find_matches_device(S + (r - r).astype(jnp.uint8),
-                                               n, False)
+        pos, cands, lcps = find_matches_device(
+            S + dep(acc).astype(jnp.uint8), n, False)
         return (acc + jnp.sum(lcps) + jnp.sum(cands) + jnp.sum(pos))
     return jax.lax.fori_loop(0, n_rep, body, jnp.int32(0))
 
@@ -59,8 +67,8 @@ K8 = jnp.asarray(ok[None])
 def pipe_g(P, NR, LO, HI, O, K8, n_rep):
     def body(r, acc):
         keys, bc, bl, cands, lcps = find_matches_grouped_compact(
-            P + (r - r).astype(jnp.uint8), NR + r - r, LO, HI,
-            O + r - r, K8, False)
+            P + dep(acc).astype(jnp.uint8), NR + dep(acc), LO, HI,
+            O + dep(acc), K8, False)
         return (acc + jnp.sum(keys.astype(jnp.int32)) + jnp.sum(bc)
                 + jnp.sum(bl) + jnp.sum(cands) + jnp.sum(lcps))
     return jax.lax.fori_loop(0, n_rep, body, jnp.int32(0))

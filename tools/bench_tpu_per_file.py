@@ -30,8 +30,11 @@ TARGET_RAW = 24 << 20
 
 rows = []
 dec = TpuDecoder(use_pallas=True, use_native_rebuild=True)
+only = set(sys.argv[1:])  # optional file-name filters (substring match)
 for p in sorted(SNAPPY.glob("*.lzfse")):
     name = p.name[:-len(".lzfse")]
+    if only and not any(f in name for f in only):
+        continue
     src = p.read_bytes()
     want = pathlib.Path(str(p)[:-len(".lzfse")] + ".hash").read_bytes()
     raw_n = len(native.decode_bytes(src))
@@ -57,6 +60,10 @@ for p in sorted(SNAPPY.glob("*.lzfse")):
         "file": name, "reps": reps, "raw_bytes": total,
         "tpu_dec_MBps": round(mbps, 1),
         "host_s": round(t_host, 4), "device_injit_s": round(t_dev, 4),
+        "stages_s": {k: round(low(k), 4)
+                     for k in ("parse", "prep", "flatten", "rebuild")},
+        "prep_detail_s": {k: round(v, 4) for k, v in
+                          runs[-1].get("detail_prep", {}).items()},
         "ref_dec_MBps": ref,
     }), flush=True)
 
