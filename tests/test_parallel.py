@@ -177,8 +177,12 @@ def test_tpu_decoder_mesh_end_to_end(mesh, monkeypatch):
 
     fse_src = FIXTURE.read_bytes()
     vn_src = api.encode_bytes(b"mesh serving, mesh serving, mesh serving!")
-    dec = M.TpuDecoder(use_native_rebuild=True, mesh=mesh)
-    sources = [fse_src, vn_src, fse_src]
+    # a 2-device mesh keeps the interpret-mode cost fast-tier (~1 min);
+    # the full 8-device composition runs in dryrun_multichip every round
+    from lzfse_rust_tpu.parallel.mesh import make_mesh
+    dec = M.TpuDecoder(use_native_rebuild=True,
+                       mesh=make_mesh(jax.devices()[:2]))
+    sources = [fse_src, vn_src]
     stats: dict = {}
     outs = dec.decode_many(sources, stats=stats)
     assert stats.get("fallbacks", 0) == 0
