@@ -46,11 +46,12 @@ SNAPPY = pathlib.Path("/root/reference/data/snappy")
 # Corpus replicas per decode_many call (serving-style batch). Bigger
 # batches pack the size-sorted 128-block kernel groups tighter (at 8 reps
 # the literal kernel pays 1.97x the needed steps from pad + within-group
-# spread; at 24 reps 1.25x) and amortize fixed dispatch — the steady-state
-# serving regime the metric models. Hardware sweep (r2): full-decode sum
-# model 0.44 / 0.46 / 0.48 GB/s at 8/16/24 reps, matching the analytic
-# utilization prediction — 24 is the default serving batch.
-REPS = int(os.environ.get("LZT_BENCH_REPS", "24"))
+# spread) and amortize fixed dispatch — the steady-state serving regime
+# the metric models. Hardware sweep on the r5 tree (2026-08-20, one
+# queue): 0.70 / 0.99 / 1.09 GB/s at 8/24/48 reps (entropy stage 1.26 /
+# 1.70 / 1.83 — group utilization keeps improving), so 48 is the default
+# serving batch; blocks_in_flight rides in extra for comparability.
+REPS = int(os.environ.get("LZT_BENCH_REPS", "48"))
 
 # lzfse_ref aggregate ENCODE throughput on the corpus (size-weighted from
 # BASELINE.md's encode rows, README.md:166-176) — the vs_ref_encode base

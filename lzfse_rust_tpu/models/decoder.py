@@ -367,6 +367,44 @@ def _compact_fn():
     return compact
 
 
+@functools.lru_cache(maxsize=1)
+def _compact3_fn():
+    """One-dispatch variant of _compact_fn for the serving path's three
+    kernel outputs (the per-call jit dispatch overhead is a measured
+    fixed cost on small batches — STATUS.md r5 item 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def compact3(lit_pk, lm_pk, d_pk, map_l, map_m):
+        def one(x2d, rows_idx):
+            B, n = x2d.shape
+            return jnp.take(x2d.reshape(B * (n // 128), 128), rows_idx,
+                            axis=0)
+        return one(lit_pk, map_l), one(lm_pk, map_m), one(d_pk, map_m)
+    return compact3
+
+
+@functools.lru_cache(maxsize=1)
+def _concat_gather_fn():
+    """One-dispatch join of the threaded upload slices + BOTH payload row
+    gathers (was three dispatches)."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("lw", "mw"))
+    def go(start_l, start_m, lw: int, mw: int, *parts):
+        cat2d = jnp.concatenate(parts, axis=0)
+
+        def gath(starts, w_words):
+            idx = (starts[:, None]
+                   + jnp.arange(w_words // 128, dtype=jnp.int32)[None, :])
+            return jnp.take(cat2d, idx.reshape(-1), axis=0).reshape(
+                starts.shape[0], w_words)
+        return gath(start_l, lw), gath(start_m, mw)
+    return go
+
+
 def _compact_map(used_words: "np.ndarray", n_cols: int):
     """Host-side map for _compact_fn: per sorted slot i, used_words[i]
     words round up to ceil/128 128-word rows taken from that slot's padded
@@ -573,14 +611,12 @@ class TpuDecoder:
                 axis=1, dtype=np.int64).astype(np.int32)
             (lit_states_d, lmd_states_d, bl, bm, nl, nm, start_l_d,
              start_m_d, tot_d) = _expand_smalls_fn()(jnp.asarray(small))
-            gather = _gather_payload_fn()
             _mark("prep_small")
             cat_box = [f.result() for f in futs_up]
             _, u_sorted, v_sorted = fut_tab_up.result()
             _mark("prep_upload")
-            cat_dev = _concat_fn()(*cat_box)
-            lit_words_dev = gather(cat_dev, start_l_d, w_words=lit_w_total)
-            lmd_words_dev = gather(cat_dev, start_m_d, w_words=lmd_w_total)
+            lit_words_dev, lmd_words_dev = _concat_gather_fn()(
+                start_l_d, start_m_d, lit_w_total, lmd_w_total, *cat_box)
             if self.mesh is not None:
                 # mesh serving path: identical kernels, identical inputs —
                 # the batch shards across the mesh and each chip decodes
@@ -612,16 +648,13 @@ class TpuDecoder:
             # order (no device unsort copies) and are COMPACTED on device
             # to each block's used 64-word rows before download; the back
             # half points each part at its dense offsets.
-            compact = _compact_fn()
             map_l, off_l = _compact_map((litn_b[perm_l] + 3) // 4,
                                         int(lit_pk.shape[1]))
             map_m, off_m = _compact_map(lmdn_b[perm_m],
                                         int(lm_pk.shape[1]))
-            map_l_d = jnp.asarray(map_l)
-            map_m_d = jnp.asarray(map_m)
-            lit_c = compact(lit_pk, map_l_d)
-            lm_c = compact(lm_pk, map_m_d)
-            d_c = compact(d_pk, map_m_d)
+            lit_c, lm_c, d_c = _compact3_fn()(
+                lit_pk, lm_pk, d_pk, jnp.asarray(map_l),
+                jnp.asarray(map_m))
             _mark("prep_dispatch")
             if stats is not None:
                 # fold the sub-segments into the headline "prep" stage and
