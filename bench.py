@@ -321,14 +321,20 @@ def bench_tpu_full_decode():
 
 
 def _tpu_reachable(timeout_s: int = 180) -> bool:
-    """Device discovery in a KILLABLE subprocess. On this harness a dead
-    tunnel makes jax.devices() hang forever (not raise), which would hang
-    the whole bench — probe first so the native fallback still reports."""
+    """Device discovery AND a tiny computation in a KILLABLE subprocess.
+    On this harness a dead tunnel can make jax.devices() hang forever
+    (not raise) — and in some outage phases discovery still answers
+    while any COMPUTE dispatch wedges (observed 2026-08-20), which would
+    hang the whole bench. Probing with a real matmul+download catches
+    both so the retry/fallback logic actually engages."""
     import subprocess
     try:
         r = subprocess.run(
             [sys.executable, "-c",
-             "import jax; assert len(jax.devices()) > 0"],
+             "import jax, jax.numpy as jnp;"
+             "assert len(jax.devices()) > 0;"
+             "x = jnp.ones((256, 256), jnp.float32);"
+             "assert float(jnp.sum(x @ x)) > 0"],
             timeout=timeout_s, capture_output=True)
         return r.returncode == 0
     except subprocess.TimeoutExpired:
@@ -407,7 +413,18 @@ def main():
     extra = {}
     tpu_ok = False
     try:
-        if not _tpu_reachable():
+        # the tunnel has observed dead phases of tens of minutes that
+        # recover on their own; retry discovery a few times before
+        # abandoning the TPU metric for the host fallback
+        reachable = False
+        for attempt in range(3):
+            if _tpu_reachable():
+                reachable = True
+                break
+            sys.stderr.write(f"device discovery attempt {attempt + 1} "
+                             "timed out; retrying in 120s\n")
+            time.sleep(120)
+        if not reachable:
             raise RuntimeError("device discovery timed out (tunnel down)")
         value, extra = bench_tpu_full_decode()
         tpu_ok = True
