@@ -278,7 +278,13 @@ def main():
                 total_raw / (t_host_d + t_mf + t_em) / 1e9, 4),
             "matchfind_injit_s": round(t_mf, 4),
             "host_group_s": round(t_group, 4),  # inside win_prep wall too
+            # host wall per stage: on tunneled harnesses the stages that
+            # first consume device arrays absorb the crawling downloads —
+            # read these against the in-jit + modeled-transfer figures
             "host_s": round(t_host_d, 4),
+            "host_stages_s": {k: round(low_d(k), 4) for k in (
+                "small", "win_prep", "matchfind", "arbitrate", "merge",
+                "select", "emit_prep", "pack")},
             "candidate_download_bytes": int(
                 runs_d[0].get("download_bytes", 0)),
         }
