@@ -51,6 +51,9 @@ SNAPPY = pathlib.Path("/root/reference/data/snappy")
 # queue): 0.70 / 0.99 / 1.09 GB/s at 8/24/48 reps (entropy stage 1.26 /
 # 1.70 / 1.83 — group utilization keeps improving), so 48 is the default
 # serving batch; blocks_in_flight rides in extra for comparability.
+# 96 reps measured WORSE (0.93): entropy plateaus at 1.82 while the
+# host rebuild/prep scale super-linearly past the cache-friendly
+# working set (rebuild 4.0 GB/s vs 7.6 at 48) — recorded, don't raise.
 REPS = int(os.environ.get("LZT_BENCH_REPS", "48"))
 
 # lzfse_ref aggregate ENCODE throughput on the corpus (size-weighted from
